@@ -1,0 +1,276 @@
+"""Guided samplers as fused device-resident loops.
+
+The reference drives its 200-1000 step DDIM / ancestral sampling loops from
+Python, one kernel launch per step, re-imposing conditions and re-entering
+autograd for guidance every iteration
+(reference: 1D/model/diffusion.py:288-555). Here the entire reverse process
+is ONE `lax.scan` over timesteps: the guidance gradient is `jax.grad` of the
+task safety/objective loss evaluated inside the scan body, so the whole
+trajectory of U-Net calls + guidance + conditioning compiles into a single
+XLA program with zero host round-trips.
+
+Inference-time fine-tuning (InfFT) semantics: the reference keeps the
+autograd graph only through the FINAL denoise step
+(1D/model/diffusion.py:524-551). We reproduce that exactly by running the
+scan over all-but-the-last step with `stop_gradient`-frozen params and
+taking the last step with live params, so `jax.grad` w.r.t. params sees
+only the final U-Net call.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from safediffcon_tpu.core.schedules import DiffusionSchedule
+from safediffcon_tpu.core.diffusion import (
+    DiffusionConfig,
+    predict_start_from_noise,
+    predict_noise_from_start,
+    predict_start_from_v,
+    q_posterior,
+)
+from safediffcon_tpu.core.conditioning import IdentityConditioner
+
+
+class ModelPrediction(NamedTuple):
+    pred_noise: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+def _batched_t(x, time):
+    return jnp.full((x.shape[0],), time, dtype=jnp.int32)
+
+
+def model_predictions(
+    apply_fn: Callable,
+    params,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    x: jnp.ndarray,
+    time,
+    *,
+    guidance_grad: Optional[Callable] = None,
+    j_scale=1.0,
+    clip_x_start: bool = False,
+    rederive_pred_noise: bool = False,
+) -> ModelPrediction:
+    """One denoiser evaluation with optional guidance on predicted x0.
+
+    Faithful to reference model_predictions (1D/model/diffusion.py:226-286):
+    guidance gradient is evaluated at the (maybe-clipped) x_start derived
+    from the raw model output, added to pred_noise scaled by the J-scheduler
+    step size, then x_start is re-derived (and optionally re-clipped /
+    pred_noise re-derived from the clipped x_start).
+    """
+    t = _batched_t(x, time)
+    model_out = apply_fn(params, x, t)
+
+    clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+
+    if cfg.objective == "pred_noise":
+        pred_noise = model_out
+        x_start = clip(predict_start_from_noise(sched, x, t, pred_noise))
+        if guidance_grad is not None:
+            g = guidance_grad(jax.lax.stop_gradient(x_start))
+            pred_noise = pred_noise + g * j_scale
+        x_start = clip(predict_start_from_noise(sched, x, t, pred_noise))
+        if clip_x_start and rederive_pred_noise:
+            pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    elif cfg.objective == "pred_x0":
+        x_start = clip(model_out)
+        pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    elif cfg.objective == "pred_v":
+        x_start = clip(predict_start_from_v(sched, x, t, model_out))
+        pred_noise = predict_noise_from_start(sched, x, t, x_start)
+    else:
+        raise ValueError(f"unknown objective {cfg.objective!r}")
+
+    return ModelPrediction(pred_noise, x_start)
+
+
+def _ddim_times(cfg: DiffusionConfig):
+    """Reversed DDIM time pairs [(T-1, ...), ..., (t1, -1)] as numpy ints.
+
+    Matches torch.linspace(-1, T-1, S+1) int truncation
+    (reference: 1D/model/diffusion.py:460-462).
+    """
+    s = cfg.sampling_timesteps or cfg.timesteps
+    times = np.linspace(-1, cfg.timesteps - 1, s + 1)
+    times = list(reversed(times.astype(np.int64).tolist()))
+    return list(zip(times[:-1], times[1:]))
+
+
+def ddim_sample(
+    apply_fn: Callable,
+    params,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    rng: jax.Array,
+    shape,
+    cond=None,
+    guidance_grad: Optional[Callable] = None,
+    j_scheduler: Optional[Callable] = None,
+    final_step_grad: bool = False,
+) -> jnp.ndarray:
+    """Guided DDIM sampling as a single lax.scan.
+
+    Args:
+        cond: Conditioner pytree; `cond.apply` is re-applied after every
+            update (and once to the initial noise), matching the reference.
+        guidance_grad: x_start -> dJ/dx_start (already includes any weights).
+        j_scheduler: time -> scalar step size for the guidance gradient.
+        final_step_grad: if True, gradients w.r.t. `params` flow only
+            through the final denoise step (InfFT semantics).
+    """
+    cond = cond if cond is not None else IdentityConditioner()
+    j_scheduler = j_scheduler or (lambda t: 1.0)
+    pairs = _ddim_times(cfg)
+    assert pairs[-1][1] < 0, "last DDIM pair must end at t=-1"
+    scan_pairs = jnp.asarray(pairs[:-1], dtype=jnp.int32)  # all but final
+    final_time = pairs[-1][0]
+
+    img = jax.random.normal(rng, shape, dtype=jnp.float32)
+    img = cond.apply(img)
+
+    scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
+    eta = cfg.ddim_eta
+
+    def body(carry, pair):
+        img, rng = carry
+        time, time_next = pair[0], pair[1]
+        pred = model_predictions(
+            apply_fn,
+            scan_params,
+            sched,
+            cfg,
+            img,
+            time,
+            guidance_grad=guidance_grad,
+            j_scale=j_scheduler(time),
+            clip_x_start=True,
+            rederive_pred_noise=True,
+        )
+        alpha = sched.alphas_cumprod[time]
+        alpha_next = sched.alphas_cumprod[time_next]
+        sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+        c = jnp.sqrt(1.0 - alpha_next - sigma**2)
+        rng, key = jax.random.split(rng)
+        noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+        img = pred.pred_x_start * jnp.sqrt(alpha_next) + c * pred.pred_noise + sigma * noise
+        img = cond.apply(img)
+        return (img, rng), None
+
+    if len(pairs) > 1:
+        (img, rng), _ = jax.lax.scan(body, (img, rng), scan_pairs)
+    if final_step_grad:
+        img = jax.lax.stop_gradient(img)
+
+    # Final step: img = x_start (no condition re-imposition; reference
+    # 1D/model/diffusion.py:495-498). This is the only params-differentiable
+    # step when final_step_grad is set.
+    pred = model_predictions(
+        apply_fn,
+        params,
+        sched,
+        cfg,
+        img,
+        final_time,
+        guidance_grad=guidance_grad,
+        j_scale=j_scheduler(final_time),
+        clip_x_start=True,
+        rederive_pred_noise=True,
+    )
+    return pred.pred_x_start
+
+
+def ancestral_sample(
+    apply_fn: Callable,
+    params,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    rng: jax.Array,
+    shape,
+    cond=None,
+    guidance_grad: Optional[Callable] = None,
+    j_scheduler: Optional[Callable] = None,
+    final_step_grad: bool = False,
+) -> jnp.ndarray:
+    """Guided ancestral (DDPM) sampling loop as one lax.scan.
+
+    Faithful to p_sample_loop (reference: 1D/model/diffusion.py:368-449):
+    conditions are imposed at the TOP of each iteration, x_start is clamped
+    when clip_denoised, and noise is omitted at t=0.
+    """
+    cond = cond if cond is not None else IdentityConditioner()
+    j_scheduler = j_scheduler or (lambda t: 1.0)
+    T = cfg.timesteps
+
+    img = jax.random.normal(rng, shape, dtype=jnp.float32)
+    scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
+
+    def p_sample(params_, img, time, rng):
+        img = cond.apply(img)
+        t = _batched_t(img, time)
+        pred = model_predictions(
+            apply_fn,
+            params_,
+            sched,
+            cfg,
+            img,
+            time,
+            guidance_grad=guidance_grad,
+            j_scale=j_scheduler(time),
+            clip_x_start=False,
+        )
+        x_start = pred.pred_x_start
+        if cfg.clip_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        mean, _, log_var = q_posterior(sched, x_start, img, t)
+        rng, key = jax.random.split(rng)
+        noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+        nz = jnp.where(time > 0, 1.0, 0.0)
+        return mean + nz * jnp.exp(0.5 * log_var) * noise, rng
+
+    def body(carry, time):
+        img, rng = carry
+        img, rng = p_sample(scan_params, img, time, rng)
+        return (img, rng), None
+
+    times = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # T-1 ... 1
+    (img, rng), _ = jax.lax.scan(body, (img, rng), times)
+    if final_step_grad:
+        img = jax.lax.stop_gradient(img)
+    img, _ = p_sample(params, img, 0, rng)
+    return img
+
+
+def sample(
+    apply_fn: Callable,
+    params,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    rng: jax.Array,
+    shape,
+    cond=None,
+    guidance_grad: Optional[Callable] = None,
+    j_scheduler: Optional[Callable] = None,
+    final_step_grad: bool = False,
+) -> jnp.ndarray:
+    """Dispatch DDIM vs ancestral by cfg.sampling_timesteps
+    (reference: 1D/model/diffusion.py:557-607)."""
+    fn = ddim_sample if cfg.is_ddim else ancestral_sample
+    return fn(
+        apply_fn,
+        params,
+        sched,
+        cfg,
+        rng,
+        shape,
+        cond=cond,
+        guidance_grad=guidance_grad,
+        j_scheduler=j_scheduler,
+        final_step_grad=final_step_grad,
+    )

@@ -1,0 +1,285 @@
+"""3D (video) U-Net denoiser for the 2D smoke task.
+
+Topology of the reference Unet3D_with_Conv3D
+(reference: 2d/video_diffusion_pytorch/video_diffusion_pytorch_conv3d.py:357-574):
+Conv3d residual blocks, factorized per-frame spatial linear attention +
+temporal attention with rotary embeddings and a T5-style relative position
+bias, spatial-only down/upsampling (frames preserved).
+
+TPU re-design: layout (B, F, H, W, C); temporal attention is a batched
+einsum over (B, H*W) x F tokens; relative-position buckets are computed in
+numpy at trace time (static frame count) so only the bias embedding lives
+on device.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from safediffcon_tpu.models.layers import ChanLayerNorm, TimeMLP
+
+
+def _rel_pos_buckets(n: int, num_buckets: int = 32, max_distance: int = 128) -> np.ndarray:
+    """T5 relative position buckets for an n x n attention map
+    (reference: video_diffusion_pytorch_conv3d.py:86-104)."""
+    q = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    rel = k - q
+    neg = -rel
+    num_buckets //= 2
+    ret = (neg < 0).astype(np.int64) * num_buckets
+    nabs = np.abs(neg)
+    max_exact = num_buckets // 2
+    is_small = nabs < max_exact
+    val_if_large = max_exact + (
+        np.log(np.maximum(nabs, 1) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(np.int64)
+    val_if_large = np.minimum(val_if_large, num_buckets - 1)
+    return ret + np.where(is_small, nabs, val_if_large)
+
+
+def _rope(x: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
+    """Interleaved rotary position embedding over the token axis (axis -2)."""
+    n, d = x.shape[-2], x.shape[-1]
+    freqs = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    angles = np.arange(n)[:, None] * freqs[None, :]  # (n, d/2)
+    cos = jnp.asarray(np.cos(angles), dtype=x.dtype)
+    sin = jnp.asarray(np.sin(angles), dtype=x.dtype)
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rx1 = x1 * cos - x2 * sin
+    rx2 = x1 * sin + x2 * cos
+    return jnp.stack([rx1, rx2], axis=-1).reshape(x.shape)
+
+
+class TemporalAttention(nn.Module):
+    """Full attention over the frame axis with RoPE + relative position bias
+    (reference: video_diffusion_pytorch_conv3d.py:277-353)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x, pos_bias=None):
+        # x: (B, F, H, W, C) -> tokens (B, H*W, F, C)
+        b, f, hh, ww, c = x.shape
+        t = x.transpose(0, 2, 3, 1, 4).reshape(b, hh * ww, f, c)
+
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False)(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):  # (..., n, H*D) -> (..., H, n, D)
+            return z.reshape(*z.shape[:-1], self.heads, self.dim_head).swapaxes(-3, -2)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q * (self.dim_head**-0.5)
+        q = _rope(q)
+        k = _rope(k)
+        sim = jnp.einsum("...hid,...hjd->...hij", q, k)
+        if pos_bias is not None:
+            sim = sim + pos_bias  # (H, F, F) broadcast over (B, HW)
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
+        out = out.swapaxes(-3, -2).reshape(b, hh * ww, f, hidden)
+        out = nn.Dense(c, use_bias=False)(out)
+        return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+
+
+class SpatialLinearAttention3D(nn.Module):
+    """Per-frame linear attention over H*W tokens
+    (reference: video_diffusion_pytorch_conv3d.py:232-258)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, hh, ww, c = x.shape
+        t = x.reshape(b * f, hh * ww, c)
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False)(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):  # (B', N, H*D) -> (B', H, D, N)
+            bb, n, _ = z.shape
+            return z.reshape(bb, n, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = jax.nn.softmax(q, axis=-2)
+        k = jax.nn.softmax(k, axis=-1)
+        q = q * (self.dim_head**-0.5)
+        context = jnp.einsum("bhdn,bhen->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q)
+        bb, h, d, n = out.shape
+        out = out.transpose(0, 3, 1, 2).reshape(bb, n, h * d)
+        out = nn.Dense(c)(out)
+        return out.reshape(b, f, hh, ww, c)
+
+
+class Block3D(nn.Module):
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock3D(nn.Module):
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if time_emb is not None:
+            h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
+            h_t = h_t.reshape(h_t.shape[0], 1, 1, 1, h_t.shape[-1])
+            scale_shift = jnp.split(h_t, 2, axis=-1)
+        h = Block3D(self.dim_out, groups=self.groups)(x, scale_shift)
+        h = Block3D(self.dim_out, groups=self.groups)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1))(x)
+        return h + x
+
+
+class _PreNormResidual3D(nn.Module):
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kw):
+        return self.fn(ChanLayerNorm()(x), **kw) + x
+
+
+class UNet3D(nn.Module):
+    dim: int = 64
+    dim_mults: Sequence[int] = (1, 2, 4)
+    channels: int = 7
+    attn_heads: int = 4
+    attn_dim_head: int = 32
+    resnet_groups: int = 8
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t):
+        # x: (B, F, H, W, C)
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        f = x.shape[1]
+
+        # Relative position bias over frames (static buckets, learned embed).
+        buckets = _rel_pos_buckets(f, num_buckets=32, max_distance=32)
+        bias_table = nn.Embed(32, self.attn_heads, name="time_rel_pos_bias")(
+            jnp.asarray(buckets)
+        )  # (F, F, H)
+        pos_bias = bias_table.transpose(2, 0, 1).astype(dt)  # (H, F, F)
+
+        time_emb = TimeMLP(self.dim, self.dim * 4)(t).astype(dt)
+
+        x = nn.Conv(self.dim, kernel_size=(7, 7, 7), padding="SAME", name="init_conv")(x)
+        x = _PreNormResidual3D(
+            TemporalAttention(self.attn_heads, self.attn_dim_head)
+        )(x, pos_bias=pos_bias)
+        r = x
+
+        dims = [self.dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        h = []
+        for i, (dim_in, dim_out) in enumerate(in_out):
+            is_last = i >= num_res - 1
+            x = ResnetBlock3D(dim_out, groups=self.resnet_groups)(x, time_emb)
+            x = ResnetBlock3D(dim_out, groups=self.resnet_groups)(x, time_emb)
+            x = _PreNormResidual3D(
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head)
+            )(x)
+            x = _PreNormResidual3D(
+                TemporalAttention(self.attn_heads, self.attn_dim_head)
+            )(x, pos_bias=pos_bias)
+            h.append(x)
+            if not is_last:
+                # Spatial-only downsample, k(1,4,4) s(1,2,2).
+                x = nn.Conv(
+                    dim_out,
+                    kernel_size=(1, 4, 4),
+                    strides=(1, 2, 2),
+                    padding=((0, 0), (1, 1), (1, 1)),
+                )(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups)(x, time_emb)
+        # Mid spatial FULL attention per frame.
+        b_, f_, hh_, ww_, c_ = x.shape
+
+        class _MidSpatial(nn.Module):
+            heads: int
+            dim_head: int
+
+            @nn.compact
+            def __call__(self, z):
+                b, ff, hh, ww, c = z.shape
+                tkn = z.reshape(b * ff, hh * ww, c)
+                hidden = self.heads * self.dim_head
+                qkv = nn.Dense(hidden * 3, use_bias=False)(tkn)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+
+                def heads(zz):
+                    bb, n, _ = zz.shape
+                    return zz.reshape(bb, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+                q, k, v = heads(q), heads(k), heads(v)
+                q = q * (self.dim_head**-0.5)
+                sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+                sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+                attn = jax.nn.softmax(sim, axis=-1)
+                out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+                bb, hd, n, d = out.shape
+                out = out.transpose(0, 2, 1, 3).reshape(bb, n, hd * d)
+                out = nn.Dense(c, use_bias=False)(out)
+                return out.reshape(b, ff, hh, ww, c)
+
+        x = _PreNormResidual3D(_MidSpatial(self.attn_heads, self.attn_dim_head))(x)
+        x = _PreNormResidual3D(
+            TemporalAttention(self.attn_heads, self.attn_dim_head)
+        )(x, pos_bias=pos_bias)
+        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups)(x, time_emb)
+
+        for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = i >= num_res - 1
+            x = jnp.concatenate([x, h.pop()], axis=-1)
+            x = ResnetBlock3D(dim_in, groups=self.resnet_groups)(x, time_emb)
+            x = ResnetBlock3D(dim_in, groups=self.resnet_groups)(x, time_emb)
+            x = _PreNormResidual3D(
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head)
+            )(x)
+            x = _PreNormResidual3D(
+                TemporalAttention(self.attn_heads, self.attn_dim_head)
+            )(x, pos_bias=pos_bias)
+            if not is_last:
+                # Spatial-only transposed-conv upsample, k(1,4,4) s(1,2,2).
+                x = nn.ConvTranspose(
+                    dim_in,
+                    kernel_size=(1, 4, 4),
+                    strides=(1, 2, 2),
+                    padding="SAME",
+                )(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock3D(self.dim, groups=self.resnet_groups)(x)
+        out = nn.Conv(self.channels, kernel_size=(1, 1, 1), name="final_conv")(x)
+        return out.astype(jnp.float32)

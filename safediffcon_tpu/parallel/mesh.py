@@ -1,0 +1,61 @@
+"""Device mesh + sharding utilities.
+
+The reference's only parallelism is HF-Accelerate DDP (NCCL all-reduce,
+reference: 2d/default_config.yaml, 1D/model/trainer.py:47-50). The TPU
+equivalent: a 1-axis `data` mesh over all chips; batches are sharded on
+that axis, parameters are replicated, and XLA inserts the gradient psum
+over ICI automatically from the sharding annotations. Models here are
+<=100M params so no tensor/pipeline parallelism is needed — DP covers
+training, guided sampling, calibration scoring, and solver evaluation
+(which replaces the reference's CPU process pools with sharded vmap).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices (all by default)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host array onto the mesh, batch axis sharded."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int):
+    """Pad the batch axis up to a multiple (for even sharding); returns
+    (padded, real_count)."""
+    n = batch.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch, n
+    pad = np.repeat(batch[-1:], rem, axis=0)
+    return np.concatenate([batch, pad], axis=0), n
