@@ -1,0 +1,426 @@
+"""End-to-end pipelines for the 1D Burgers task: pretrain, conformal
+calibration, post-training, inference-time fine-tuning, evaluation.
+
+Replaces the reference's host-orchestrated pipelines
+(reference: 1D/model/trainer.py:150-210, 1D/posttrain/post_train.py:25-470,
+1D/inference/inference_ft.py:26-433) with a handful of jitted device
+programs:
+
+  - `calibrate`: sample the cal set conditioned on ground-truth controls,
+    score, weight, quantile — each batch one fused sampler call, the
+    quantile a sort on device.
+  - `evaluate`: guided sampling -> FD solver rollout -> J / safety metrics,
+    all one jit.
+  - `posttrain_epoch` / `infft_epoch`: reweighted diffusion loss /
+    through-the-last-denoise-step gradient, optax updates, EMA.
+
+Data parallelism: batches can be sharded over a 1-axis mesh
+(`parallel.mesh`); params stay replicated, XLA inserts the collectives.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
+from safediffcon_tpu.core.sampling import ddim_sample, sample
+from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
+from safediffcon_tpu.core.train import (
+    TrainState,
+    make_optimizer,
+    periodic_cosine_schedule,
+    warmup_cosine_schedule,
+)
+from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
+from safediffcon_tpu.models.unet2d import UNet2D
+from safediffcon_tpu.tasks.burgers.task import (
+    PAD_SIZE,
+    NX,
+    NT,
+    SCALER,
+    COND_IDX,
+    BurgersConditioner,
+    BurgersTaskConfig,
+    conformal_score,
+    guidance_values,
+    infft_loss,
+    shift_weights,
+    train_conditioner,
+)
+from safediffcon_tpu.tasks.burgers.config import (
+    BurgersConformalConfig,
+    BurgersInfFTConfig,
+    BurgersPostTrainConfig,
+    BurgersPretrainConfig,
+)
+from safediffcon_tpu.tasks.burgers.data import BurgersDataset
+from safediffcon_tpu.tasks.burgers.metrics import control_trajectories, evaluate_samples
+
+log = logging.getLogger(__name__)
+
+
+def build_model(dim=128, dim_mults=(1, 2, 4, 8), groups=1):
+    return UNet2D(dim=dim, dim_mults=dim_mults, channels=3, resnet_block_groups=groups)
+
+
+def init_params(model, rng):
+    x = jnp.zeros((1, PAD_SIZE, NX, 3))
+    return model.init(rng, x, jnp.zeros((1,), jnp.int32))
+
+
+class BurgersPipeline:
+    """Shared machinery for all Burgers phases."""
+
+    def __init__(
+        self,
+        conf_cfg: BurgersConformalConfig,
+        dim: int = 128,
+        dim_mults=(1, 2, 4, 8),
+        groups: int = 1,
+    ):
+        self.ccfg = conf_cfg
+        self.task_cfg = BurgersTaskConfig(
+            u_bound=conf_cfg.u_bound,
+            use_max_safety=conf_cfg.use_max_safety,
+            w_score=conf_cfg.w_score,
+            alpha=conf_cfg.alpha,
+        )
+        self.model = build_model(dim, dim_mults, groups)
+        self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
+        self.sched = make_schedule(conf_cfg.timesteps, "cosine")
+        self.diff_cfg = DiffusionConfig(
+            timesteps=conf_cfg.timesteps,
+            sampling_timesteps=conf_cfg.ddim_sampling_steps,
+            ddim_eta=conf_cfg.ddim_eta,
+        )
+        self.j_scheduler = get_J_scheduler(conf_cfg.J_scheduler)
+
+        tc = self.task_cfg
+
+        # ---- jitted building blocks -------------------------------------
+        @jax.jit
+        def _cal_batch(params, rng, state, Q):
+            """One calibration batch: sample conditioned on ground-truth
+            control, return (scores, weights)
+            (reference: 1D/posttrain/conformal.py:43-88)."""
+            cond = BurgersConditioner(
+                u0=state[:, 0, :, 0], uT=state[:, COND_IDX, :, 0], w=state[:, :, :, 1]
+            )
+            out = sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond, guidance_grad=None,
+            )
+            scores = conformal_score(out, state, tc.use_max_safety)
+            weights = shift_weights(state, Q, tc)
+            return scores, weights
+
+        self._cal_batch = _cal_batch
+
+        @functools.partial(jax.jit, static_argnames=("guided", "final_step_grad"))
+        def _sample_test(params, rng, state, Q, guided=True, final_step_grad=False):
+            """Guided sampling conditioned on (u0, uT); returns UNSCALED
+            prediction (reference: 1D/inference/inference_ft.py:316-347)."""
+            cond = BurgersConditioner(u0=state[:, 0, :, 0], uT=state[:, COND_IDX, :, 0])
+            if guided:
+                g = jax.grad(lambda x: guidance_values(x, Q, tc).sum())
+            else:
+                g = None
+            out = ddim_sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond, guidance_grad=g,
+                j_scheduler=self.j_scheduler, final_step_grad=final_step_grad,
+            )
+            return out * SCALER
+
+        self._sample_test = _sample_test
+
+        @functools.partial(jax.jit, static_argnames=("guided",))
+        def _evaluate(params, rng, state, u_target, Q, guided=True):
+            """Sample -> solver rollout -> metrics, one fused program
+            (reference: 1D/posttrain/post_train.py:313-351)."""
+            pred = _sample_test(params, rng, state, Q, guided=guided)
+            controlled = control_trajectories(pred, NT)
+            return evaluate_samples(pred, controlled, u_target, tc.u_bound)
+
+        self._evaluate = _evaluate
+
+        @jax.jit
+        def _weights_batch(state, Q):
+            return shift_weights(state, Q, tc)
+
+        self._weights_batch = _weights_batch
+
+    # ---- conformal calibration ------------------------------------------
+
+    def calibrate(self, params, cal_data: np.ndarray, Q, rng) -> jnp.ndarray:
+        """Full calibration pass -> Q-hat
+        (reference: 1D/posttrain/post_train.py:353-365)."""
+        bs = self.ccfg.cal_batch_size
+        scores, weights = [], []
+        for i in range(self.ccfg.num_cal_batch):
+            batch = jnp.asarray(cal_data[i * bs : (i + 1) * bs])
+            rng, key = jax.random.split(rng)
+            s, w = self._cal_batch(params, key, batch, Q)
+            scores.append(s)
+            weights.append(w)
+        scores = jnp.concatenate(scores)
+        weights = normalize_weights(jnp.concatenate(weights))
+        return weighted_quantile(weights * scores, self.ccfg.alpha)
+
+    # ---- reweights over a split -----------------------------------------
+
+    def reweights(self, data: np.ndarray, Q, batch_size: int = 2048) -> jnp.ndarray:
+        ws = []
+        for lo in range(0, len(data), batch_size):
+            ws.append(self._weights_batch(jnp.asarray(data[lo : lo + batch_size]), Q))
+        return normalize_weights(jnp.concatenate(ws))
+
+    # ---- evaluation ------------------------------------------------------
+
+    def evaluate(self, params, test: BurgersDataset, Q, rng, guided=True) -> Dict:
+        state = jnp.asarray(test.data)
+        u_target = jnp.asarray(test.u_phys)
+        metrics = self._evaluate(params, rng, state, u_target, Q, guided=guided)
+        return {k: float(v) for k, v in metrics.items()}
+
+
+# ---------------------------------------------------------------------------
+# Pretraining
+# ---------------------------------------------------------------------------
+
+def pretrain(
+    cfg: BurgersPretrainConfig,
+    train_data: BurgersDataset,
+    num_steps: Optional[int] = None,
+    log_every: int = 500,
+    checkpoint_dir: Optional[str] = None,
+    params=None,
+):
+    """Pretrain loop (reference: 1D/model/trainer.py:150-210)."""
+    from safediffcon_tpu.utils.checkpoint import save_checkpoint
+
+    num_steps = num_steps or cfg.train_num_steps
+    model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups)
+    apply_fn = lambda p, x, t: model.apply(p, x, t)
+    sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
+    dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective)
+    cond = train_conditioner()
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        rng, key = jax.random.split(rng)
+        params = init_params(model, key)
+
+    lr = periodic_cosine_schedule(cfg.lr, cfg.cosine_t_max)
+    tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
+    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+
+    @jax.jit
+    def step_fn(state, rng, batch):
+        def loss_fn(params):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            return p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    n = len(train_data)
+    order = np.random.default_rng(cfg.seed).permutation(n)
+    pos = 0
+    t0 = time.time()
+    losses = []
+    for step in range(num_steps):
+        if pos + cfg.batch_size > n:
+            order = np.random.default_rng(cfg.seed + step).permutation(n)
+            pos = 0
+        sel = order[pos : pos + cfg.batch_size]
+        pos += cfg.batch_size
+        batch = jnp.asarray(train_data.data[sel])
+        rng, key = jax.random.split(rng)
+        state, loss = step_fn(state, key, batch)
+        losses.append(loss)
+        if (step + 1) % log_every == 0:
+            lv = float(jnp.stack(losses[-log_every:]).mean())
+            log.info("step %d loss %.5f (%.1f steps/s)", step + 1, lv,
+                     (step + 1) / (time.time() - t0))
+        if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state, step + 1)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Post-training (conformal reweighted fine-tuning)
+# ---------------------------------------------------------------------------
+
+def posttrain(
+    cfg: BurgersPostTrainConfig,
+    pipeline: BurgersPipeline,
+    params,
+    finetune_data: BurgersDataset,
+    cal_data: BurgersDataset,
+    test_data: BurgersDataset,
+    finetune_steps: Optional[int] = None,
+    eval_every_subset_epoch: bool = True,
+):
+    """Conformal post-training (reference: 1D/posttrain/post_train.py:262-311).
+
+    Per epoch: per-sample reweights from exp(-guidance(x, Q)), N reweighted
+    diffusion-loss steps, Q-hat recalibration, solver evaluation.
+    """
+    ccfg = cfg.conformal
+    steps_per_epoch = finetune_steps or cfg.finetune_steps
+
+    apply_fn = pipeline.apply_fn
+    sched = pipeline.sched
+    dcfg = DiffusionConfig(timesteps=ccfg.timesteps)  # training uses full T
+    cond = train_conditioner()
+
+    warmup = int(0.05 * steps_per_epoch)
+    lr = warmup_cosine_schedule(
+        cfg.finetune_lr, warmup, cfg.finetune_subset_size * cfg.cosine_epoch
+    )
+    tx = make_optimizer(
+        cfg.optimizer, lr, weight_decay=cfg.weight_decay, betas=(0.9, 0.999),
+        max_grad_norm=cfg.max_grad_norm,
+    )
+    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+
+    @jax.jit
+    def finetune_step(state, rng, batch, w):
+        def loss_fn(params):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            per = p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond)
+            return (w * per).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    Q = jnp.zeros(())
+    n = len(finetune_data)
+    all_metrics = []
+    for epoch in range(cfg.finetune_epoch):
+        w_train = np.asarray(pipeline.reweights(finetune_data.data, Q))
+        pos = 0
+        epoch_losses = []
+        eval_history = []
+        for it in range(steps_per_epoch):
+            if pos + cfg.finetune_batch_size > n:
+                pos = 0
+            sel = np.arange(pos, pos + cfg.finetune_batch_size) % n
+            pos += cfg.finetune_batch_size
+            batch = jnp.asarray(finetune_data.data[sel])
+            rng, key = jax.random.split(rng)
+            state, loss = finetune_step(state, key, batch, jnp.asarray(w_train[sel]))
+            epoch_losses.append(float(loss))
+            if (
+                eval_every_subset_epoch
+                and ((it + 1) * cfg.finetune_batch_size) % cfg.finetune_subset_size == 0
+            ):
+                rng, key = jax.random.split(rng)
+                m = pipeline.evaluate(state.ema_params, test_data, Q, key)
+                eval_history.append(m)
+                log.info("epoch %d it %d eval %s", epoch, it + 1, m)
+        if epoch != cfg.finetune_epoch - 1:
+            rng, key = jax.random.split(rng)
+            Q = pipeline.calibrate(state.ema_params, cal_data.data, Q, key)
+            log.info("epoch %d Q-hat %.5f", epoch, float(Q))
+        all_metrics.append(
+            {
+                "epoch": epoch,
+                "loss": float(np.mean(epoch_losses)) if epoch_losses else None,
+                "eval_history": eval_history,
+                "quantile": float(Q),
+            }
+        )
+    return state, Q, all_metrics
+
+
+# ---------------------------------------------------------------------------
+# Inference-time fine-tuning (InfFT)
+# ---------------------------------------------------------------------------
+
+def inference_finetune(
+    cfg: BurgersInfFTConfig,
+    pipeline: BurgersPipeline,
+    params,
+    cal_data: BurgersDataset,
+    test_data: BurgersDataset,
+):
+    """InfFT (reference: 1D/inference/inference_ft.py:228-433): per epoch,
+    sample the test set with guidance keeping the final denoise step
+    differentiable, minimize MSE(relu(s + Q - bound^2), 0) w.r.t. params,
+    recalibrate Q-hat, evaluate. The last epoch is evaluation-only.
+    """
+    ccfg = cfg.conformal
+    tc = pipeline.task_cfg
+    apply_fn = pipeline.apply_fn
+    sched = pipeline.sched
+    dcfg = pipeline.diff_cfg
+    j_sched = pipeline.j_scheduler
+
+    lr = periodic_cosine_schedule(
+        cfg.finetune_lr, max(int(cfg.InfFT_iters * cfg.cosine_ratio), 1), eta_min=1e-6
+    )
+    tx = make_optimizer(
+        cfg.optimizer, lr, weight_decay=cfg.weight_decay, betas=(0.9, 0.999),
+        max_grad_norm=cfg.max_grad_norm,
+    )
+    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+
+    @jax.jit
+    def infft_step(state, rng, test_batch, Q):
+        """Sample (grad through final step only) then backprop the safety
+        objective into params."""
+
+        def loss_fn(params):
+            cond = BurgersConditioner(
+                u0=test_batch[:, 0, :, 0], uT=test_batch[:, COND_IDX, :, 0]
+            )
+            g = jax.grad(lambda x: guidance_values(x, Q, tc).sum())
+            out = ddim_sample(
+                apply_fn, params, sched, dcfg, rng, test_batch.shape,
+                cond=cond, guidance_grad=g, j_scheduler=j_sched,
+                final_step_grad=True,
+            )
+            return infft_loss(out * SCALER, Q, tc)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    Q = jnp.zeros(())
+    all_metrics = []
+    for epoch in range(cfg.InfFT_iters):
+        if epoch == cfg.InfFT_iters - 1:
+            break  # last epoch: evaluation only (reference: run():415-418)
+        losses = []
+        for lo in range(0, len(test_data), ccfg.test_batch_size):
+            batch = jnp.asarray(test_data.data[lo : lo + ccfg.test_batch_size])
+            rng, key = jax.random.split(rng)
+            state, loss = infft_step(state, key, batch, Q)
+            losses.append(float(loss))
+        rng, key = jax.random.split(rng)
+        Q = pipeline.calibrate(state.ema_params, cal_data.data, Q, key)
+        rng, key = jax.random.split(rng)
+        metrics = pipeline.evaluate(state.ema_params, test_data, Q, key)
+        log.info("InfFT epoch %d loss %.5f Q %.5f metrics %s",
+                 epoch, float(np.mean(losses)), float(Q), metrics)
+        all_metrics.append(
+            {"epoch": epoch, "loss": float(np.mean(losses)),
+             "eval": metrics, "quantile": float(Q)}
+        )
+    return state, Q, all_metrics

@@ -1,0 +1,59 @@
+"""Orbax checkpointing: (params, opt_state, EMA, step, Q-hat) per milestone.
+
+Replaces torch.save milestone dicts (reference: 1D/model/trainer.py:111-148)
+and the SafeDiffCon convention of embedding the conformal quantile in the
+checkpoint (reference: tokamak/inference/pipeline.py:455-456,
+2d/inference_2d.py:381-382).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_path(directory: str, step: int) -> str:
+    return os.path.join(os.path.abspath(directory), f"ckpt-{step}")
+
+
+def save_checkpoint(directory: str, state, step: int, Q: Optional[Any] = None) -> str:
+    """Save a TrainState (+ optional conformal quantile) at a milestone."""
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "ema_params": jax.device_get(state.ema_params),
+    }
+    if Q is not None:
+        payload["Q"] = np.asarray(Q)
+    path = _ckpt_path(directory, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(directory: str, step: int, target=None) -> dict:
+    """Restore a milestone; pass `target` (a matching pytree of abstract or
+    concrete arrays) to recover exact structure, else get raw arrays."""
+    path = _ckpt_path(directory, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("ckpt-"):
+            try:
+                steps.append(int(name.split("-", 1)[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None

@@ -1,0 +1,97 @@
+"""End-to-end tiny-config test of the full 1D Burgers stack:
+generate data -> pretrain -> calibrate -> posttrain -> InfFT -> evaluate.
+CPU-runnable equivalent of the reference reproduce scripts
+(reference: 1D/scripts/reproduce_InfFT.sh)."""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from safediffcon_tpu.tasks.burgers.config import (
+    BurgersConformalConfig,
+    BurgersInfFTConfig,
+    BurgersPostTrainConfig,
+    BurgersPretrainConfig,
+)
+from safediffcon_tpu.tasks.burgers.data import (
+    BurgersDataset,
+    generate_burgers_dataset,
+)
+from safediffcon_tpu.tasks.burgers.pipeline import (
+    BurgersPipeline,
+    inference_finetune,
+    init_params,
+    posttrain,
+    pretrain,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "burgers_tiny.npz")
+    generate_burgers_dataset(path, n_train=16, n_cal=8, n_test=4, seed=0, nx=32)
+    return path
+
+
+def test_generate_and_load(tiny_dataset):
+    train = BurgersDataset.load(tiny_dataset, "train")
+    assert train.data.shape == (16, 16, 32, 3)
+    assert np.isfinite(train.data).all()
+    # normalization keeps values in a sane band
+    assert np.abs(train.data).max() < 3.0
+    # safety channel constant per sample (use_max_safety)
+    s = train.data[:, :11, :, 2]
+    assert np.allclose(s.std(axis=(1, 2)), 0, atol=1e-6)
+
+
+def test_end_to_end_tiny(tiny_dataset):
+    train = BurgersDataset.load(tiny_dataset, "train")
+    cal = BurgersDataset.load(tiny_dataset, "cal")
+    test = BurgersDataset.load(tiny_dataset, "test")
+
+    pre_cfg = BurgersPretrainConfig(
+        dim=8, dim_mults=(1, 2), batch_size=4, train_num_steps=4, cosine_t_max=4,
+        checkpoint_every=1000,
+    )
+    state = pretrain(pre_cfg, train, num_steps=4)
+
+    ccfg = BurgersConformalConfig(
+        cal_batch_size=4, num_cal_batch=2, n_cal_samples=8, n_test_samples=4,
+        test_batch_size=4, ddim_sampling_steps=4, w_score=5.0,
+    )
+    pipeline = BurgersPipeline(ccfg, dim=8, dim_mults=(1, 2))
+
+    rng = jax.random.PRNGKey(0)
+    Q = pipeline.calibrate(state.params, cal.data, 0.0, rng)
+    assert np.isfinite(float(Q))
+
+    metrics = pipeline.evaluate(state.params, test, Q, rng)
+    for k in (
+        "control_mse_mean (J)",
+        "point_exceed_ratio (R_p)",
+        "time_exceed_ratio (R_t)",
+        "sample_exceed_ratio (R_s)",
+    ):
+        assert k in metrics and np.isfinite(metrics[k])
+
+    # post-training: 1 epoch x 2 steps
+    pt_cfg = BurgersPostTrainConfig(
+        conformal=ccfg, finetune_epoch=2, finetune_steps=2, finetune_batch_size=4,
+        finetune_subset_size=8,
+    )
+    state_pt, Q_pt, pt_metrics = posttrain(
+        pt_cfg, pipeline, state.params, train, cal, test,
+        eval_every_subset_epoch=False,
+    )
+    assert len(pt_metrics) == 2
+    assert np.isfinite(float(Q_pt))
+
+    # InfFT: 2 iters (1 finetune + 1 skipped final)
+    ft_cfg = BurgersInfFTConfig(conformal=ccfg, InfFT_iters=2)
+    state_ft, Q_ft, ft_metrics = inference_finetune(
+        ft_cfg, pipeline, state.params, cal, test
+    )
+    assert len(ft_metrics) == 1
+    assert np.isfinite(ft_metrics[0]["eval"]["control_mse_mean (J)"])

@@ -1,0 +1,105 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from safediffcon_tpu.core.diffusion import DiffusionConfig
+from safediffcon_tpu.core.sampling import ddim_sample, ancestral_sample, _ddim_times
+from safediffcon_tpu.core.schedules import make_schedule
+from safediffcon_tpu.tasks.burgers.task import BurgersConditioner, COND_IDX
+
+
+def _zero_model(params, x, t):
+    return jnp.zeros_like(x)
+
+
+def test_ddim_time_pairs():
+    cfg = DiffusionConfig(timesteps=1000, sampling_timesteps=200)
+    pairs = _ddim_times(cfg)
+    assert len(pairs) == 200
+    assert pairs[0][0] == 999
+    assert pairs[-1][1] == -1
+    # strictly decreasing
+    times = [p[0] for p in pairs]
+    assert all(a > b for a, b in zip(times, times[1:]))
+
+
+def test_ddim_zero_model_returns_clipped_x0():
+    """With eps_hat = 0, x_start = x / sqrt(acp) clipped; final output must be
+    the clipped x_start of the last step."""
+    sched = make_schedule(100)
+    cfg = DiffusionConfig(timesteps=100, sampling_timesteps=5, ddim_eta=0.0)
+    rng = jax.random.PRNGKey(0)
+    out = ddim_sample(_zero_model, None, sched, cfg, rng, (2, 16, 8, 3))
+    assert out.shape == (2, 16, 8, 3)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0 + 1e-6)
+
+
+def test_ddim_conditioning_preserved_through_loop():
+    """Conditions re-imposed each step must survive to the penultimate state;
+    the final x_start obeys the model, but with a model that echoes zero
+    noise the conditioned cells of the final prediction derive from the
+    conditioned state."""
+    sched = make_schedule(100)
+    cfg = DiffusionConfig(timesteps=100, sampling_timesteps=8, ddim_eta=0.0)
+    b, nx = 2, 8
+    u0 = jnp.full((b, nx), 0.45)
+    cond = BurgersConditioner(u0=u0)
+    out = ddim_sample(
+        _zero_model, None, sched, cfg, jax.random.PRNGKey(1), (b, 16, nx, 3), cond=cond
+    )
+    # zero-noise model: x_start(last) = clip(img / sqrt(acp_t1)); conditioned
+    # row was set to 0.45 before the last step, acp at t1 ~ 1 for small t
+    t1 = _ddim_times(cfg)[-1][0]
+    acp = float(sched.alphas_cumprod[t1])
+    expected = np.clip(0.45 / np.sqrt(acp), -1, 1)
+    np.testing.assert_allclose(np.asarray(out[:, 0, :, 0]), expected, rtol=1e-4)
+
+
+def test_ancestral_runs_and_is_finite():
+    sched = make_schedule(20)
+    cfg = DiffusionConfig(timesteps=20, sampling_timesteps=None)
+    out = ancestral_sample(
+        _zero_model, None, sched, cfg, jax.random.PRNGKey(2), (1, 16, 8, 3)
+    )
+    assert out.shape == (1, 16, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_guidance_shifts_samples():
+    """A constant guidance gradient must shift the output vs no guidance."""
+    sched = make_schedule(50)
+    cfg = DiffusionConfig(timesteps=50, sampling_timesteps=5, ddim_eta=0.0)
+    rng = jax.random.PRNGKey(3)
+    base = ddim_sample(_zero_model, None, sched, cfg, rng, (1, 16, 8, 3))
+    guided = ddim_sample(
+        _zero_model, None, sched, cfg, rng, (1, 16, 8, 3),
+        guidance_grad=lambda x: jnp.ones_like(x) * 0.5,
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(guided))
+
+
+def test_infft_grad_only_through_final_step():
+    """final_step_grad: the gradient w.r.t. params must equal the gradient of
+    the final model call only (scan steps frozen)."""
+    sched = make_schedule(50)
+    cfg = DiffusionConfig(timesteps=50, sampling_timesteps=4, ddim_eta=0.0)
+
+    def apply_fn(params, x, t):
+        return params["w"] * x
+
+    params = {"w": jnp.asarray(0.1)}
+
+    def loss(params, frozen_scan):
+        out = ddim_sample(
+            apply_fn, params, sched, cfg, jax.random.PRNGKey(0), (1, 16, 8, 3),
+            final_step_grad=frozen_scan,
+        )
+        return (out**2).mean()
+
+    g = jax.grad(loss)(params, True)
+    assert np.isfinite(float(g["w"]))
+    # gradient must be nonzero (final step uses params)
+    assert abs(float(g["w"])) > 0
+    # and differ from the full-chain gradient (scan steps contribute there)
+    g_full = jax.grad(loss)(params, False)
+    assert not np.isclose(float(g["w"]), float(g_full["w"]))
