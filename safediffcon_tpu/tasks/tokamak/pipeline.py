@@ -1,0 +1,371 @@
+"""Tokamak pipelines: pretrain + unified post-train / backward-finetune.
+
+Replaces the reference's host-orchestrated InferencePipeline
+(reference: tokamak/inference/pipeline.py:21-465) with jitted device
+programs: fused guided DDIM sampling, batched conformal calibration, the
+vmapped surrogate rollout for evaluation, and optax fine-tune steps.
+
+Per reference semantics (run_epoch, pipeline.py:270-323): every epoch
+FIRST recalibrates Q-hat, then either
+  - posttrain mode: weighted diffusion-loss steps on train batches, with
+    weights exp(-guidance_loss * scaler) over the whole train split, or
+  - backward-finetune mode (InfFT): guided sampling of the test set with
+    gradients through the final denoise step, minimizing the
+    objective+safety loss of the samples w.r.t. model params,
+then evaluates by rolling diffused actions through the KSTAR surrogate.
+The optimizer is plain Adam(0.99, 0.999) with no EMA and no grad clip
+(reference: tokamak/inference/pipeline.py:150-163).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
+from safediffcon_tpu.core.sampling import ddim_sample
+from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
+from safediffcon_tpu.core.train import TrainState, make_optimizer, periodic_cosine_schedule
+from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
+from safediffcon_tpu.models.unet1d import UNet1D
+from safediffcon_tpu.solvers.kstar import load_kstar_params
+from safediffcon_tpu.tasks.tokamak.task import (
+    NT,
+    N_STATES,
+    PAD_SIZE,
+    SCALER,
+    TokamakConditioner,
+    TokamakTaskConfig,
+    backward_loss,
+    conformal_score,
+    guidance_loss,
+    shift_weights,
+    train_conditioner,
+)
+from safediffcon_tpu.tasks.tokamak.config import (
+    TokamakConformalConfig,
+    TokamakInferenceConfig,
+    TokamakPretrainConfig,
+)
+from safediffcon_tpu.tasks.tokamak.data import TokamakDataset
+from safediffcon_tpu.tasks.tokamak.metrics import control_trajectories, evaluate_samples
+
+log = logging.getLogger(__name__)
+
+
+def build_model(dim=128, dim_mults=(1, 2, 4, 8), groups=1):
+    return UNet1D(dim=dim, dim_mults=dim_mults, channels=12, resnet_block_groups=groups)
+
+
+def init_params(model, rng):
+    x = jnp.zeros((1, PAD_SIZE, 12))
+    return model.init(rng, x, jnp.zeros((1,), jnp.int32))
+
+
+def _normalized_targets(state_phys: jnp.ndarray) -> jnp.ndarray:
+    """(B, NT, 3) physical -> the uT condition (B, NT, 2) normalized (βp, li)."""
+    sc = jnp.asarray(SCALER[:N_STATES])
+    norm = state_phys / sc
+    return jnp.stack([norm[:, :, 0], norm[:, :, 2]], axis=-1)
+
+
+class TokamakPipeline:
+    """Shared machinery for calibration, sampling and evaluation."""
+
+    def __init__(
+        self,
+        conf_cfg: TokamakConformalConfig,
+        dim: int = 128,
+        dim_mults=(1, 2, 4, 8),
+        groups: int = 1,
+    ):
+        self.ccfg = conf_cfg
+        self.task_cfg = TokamakTaskConfig(
+            safety_threshold=conf_cfg.safety_threshold,
+            w_obj=conf_cfg.w_obj,
+            w_safe=conf_cfg.w_safe,
+            guidance_scaler=conf_cfg.guidance_scaler,
+            alpha=conf_cfg.alpha,
+        )
+        self.model = build_model(dim, dim_mults, groups)
+        self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
+        self.sched = make_schedule(conf_cfg.timesteps, "cosine")
+        self.diff_cfg = DiffusionConfig(
+            timesteps=conf_cfg.timesteps,
+            sampling_timesteps=conf_cfg.ddim_sampling_steps,
+            ddim_eta=conf_cfg.ddim_eta,
+        )
+        self.j_scheduler = get_J_scheduler(conf_cfg.J_scheduler)
+        self.solver_params = load_kstar_params()
+        tc = self.task_cfg
+
+        @jax.jit
+        def _cal_batch(params, rng, state, state_target, Q):
+            """Calibration batch: sample conditioned on ground-truth actions
+            + u0 + full (βp, li) trajectories; score + weight
+            (reference: tokamak/inference/conformal.py:34-117)."""
+            cond = TokamakConditioner(
+                u0=state[:, 0, :N_STATES],
+                uT=jnp.stack([state[:, :NT, 0], state[:, :NT, 2]], axis=-1),
+                w=state[:, :, N_STATES:],
+            )
+            out = ddim_sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond,
+            )
+            scores = conformal_score(out, state)
+            weights = shift_weights(state, state_target, Q, tc)
+            return scores, weights
+
+        self._cal_batch = _cal_batch
+
+        @functools.partial(jax.jit, static_argnames=("guided", "final_step_grad"))
+        def _sample_test(params, rng, state, state_target, Q,
+                         guided=False, final_step_grad=False):
+            """Test sampling conditioned on (u0, target trajectories);
+            returns PHYSICAL-unit predictions
+            (reference: tokamak/inference/pipeline.py:381-407)."""
+            cond = TokamakConditioner(
+                u0=state[:, 0, :N_STATES],
+                uT=jnp.stack([state[:, :NT, 0], state[:, :NT, 2]], axis=-1),
+            )
+            g = None
+            if guided:
+                g = jax.grad(
+                    lambda x: (guidance_loss(x, state_target, Q, tc)
+                               * tc.guidance_scaler).sum()
+                )
+            out = ddim_sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond, guidance_grad=g,
+                j_scheduler=self.j_scheduler, final_step_grad=final_step_grad,
+            )
+            return out * jnp.asarray(SCALER)
+
+        self._sample_test = _sample_test
+
+        @functools.partial(jax.jit, static_argnames=("guided",))
+        def _evaluate(params, rng, state, state_target, Q, guided=False):
+            """Sample -> surrogate rollout -> metrics, one fused program
+            (reference: tokamak/inference/pipeline.py:325-359)."""
+            pred = _sample_test(params, rng, state, state_target, Q, guided=guided)
+            controlled = control_trajectories(self.solver_params, pred)
+            return evaluate_samples(pred, controlled, state_target,
+                                    tc.safety_threshold)
+
+        self._evaluate = _evaluate
+
+        @jax.jit
+        def _weights_batch(state, state_target, Q):
+            return shift_weights(state, state_target, Q, tc)
+
+        self._weights_batch = _weights_batch
+
+    def calibrate(self, params, cal: TokamakDataset, Q, rng) -> jnp.ndarray:
+        bs = self.ccfg.cal_batch_size
+        scores, weights = [], []
+        for i in range(self.ccfg.num_cal_batch):
+            sl = slice(i * bs, (i + 1) * bs)
+            rng, key = jax.random.split(rng)
+            s, w = self._cal_batch(
+                params, key, jnp.asarray(cal.data[sl]), jnp.asarray(cal.state_phys[sl]), Q
+            )
+            scores.append(s)
+            weights.append(w)
+        scores = jnp.concatenate(scores)
+        weights = normalize_weights(jnp.concatenate(weights))
+        return weighted_quantile(weights * scores, self.ccfg.alpha)
+
+    def reweights(self, data: TokamakDataset, Q, batch_size: int = 4096) -> np.ndarray:
+        ws = []
+        for lo in range(0, len(data), batch_size):
+            sl = slice(lo, lo + batch_size)
+            ws.append(self._weights_batch(
+                jnp.asarray(data.data[sl]), jnp.asarray(data.state_phys[sl]), Q))
+        return np.asarray(normalize_weights(jnp.concatenate(ws)))
+
+    def evaluate(self, params, test: TokamakDataset, Q, rng, guided=None) -> Dict:
+        guided = self.ccfg.use_guidance if guided is None else guided
+        m = self._evaluate(
+            params, rng, jnp.asarray(test.data), jnp.asarray(test.state_phys), Q,
+            guided=guided,
+        )
+        return {k: float(v) for k, v in m.items()}
+
+
+# ---------------------------------------------------------------------------
+# Pretraining (same Trainer recipe as the 1D task,
+# reference: tokamak/model/trainer.py)
+# ---------------------------------------------------------------------------
+
+def pretrain(
+    cfg: TokamakPretrainConfig,
+    train_data: TokamakDataset,
+    num_steps: Optional[int] = None,
+    log_every: int = 500,
+    checkpoint_dir: Optional[str] = None,
+    params=None,
+):
+    from safediffcon_tpu.utils.checkpoint import save_checkpoint
+
+    num_steps = num_steps or cfg.train_num_steps
+    model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups)
+    apply_fn = lambda p, x, t: model.apply(p, x, t)
+    sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
+    dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective)
+    cond = train_conditioner()
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        rng, key = jax.random.split(rng)
+        params = init_params(model, key)
+
+    lr = periodic_cosine_schedule(cfg.lr, cfg.cosine_t_max)
+    tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
+    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+
+    @jax.jit
+    def step_fn(state, rng, batch):
+        def loss_fn(params):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            return p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    n = len(train_data)
+    order = np.random.default_rng(cfg.seed).permutation(n)
+    pos = 0
+    for step in range(num_steps):
+        if pos + cfg.batch_size > n:
+            order = np.random.default_rng(cfg.seed + step).permutation(n)
+            pos = 0
+        sel = order[pos : pos + cfg.batch_size]
+        pos += cfg.batch_size
+        rng, key = jax.random.split(rng)
+        state, loss = step_fn(state, key, jnp.asarray(train_data.data[sel]))
+        if (step + 1) % log_every == 0:
+            log.info("tokamak pretrain step %d loss %.5f", step + 1, float(loss))
+        if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state, step + 1)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Unified inference pipeline: post-train or backward finetune
+# ---------------------------------------------------------------------------
+
+def run_inference(
+    cfg: TokamakInferenceConfig,
+    pipeline: TokamakPipeline,
+    params,
+    train_data: Optional[TokamakDataset],
+    cal_data: TokamakDataset,
+    test_data: TokamakDataset,
+):
+    """Reference run() loop (tokamak/inference/pipeline.py:409-465):
+    per epoch calibrate -> finetune -> evaluate. Returns
+    (params, Q, metrics list)."""
+    ccfg = cfg.conformal
+    tc = pipeline.task_cfg
+    apply_fn = pipeline.apply_fn
+    sched = pipeline.sched
+    dcfg_train = DiffusionConfig(timesteps=ccfg.timesteps)
+    cond_train = train_conditioner()
+
+    # plain Adam(0.99, 0.999), no EMA/clip (reference: pipeline.py:150-163)
+    tx = make_optimizer(cfg.optimizer, cfg.finetune_lr, betas=(0.99, 0.999),
+                        max_grad_norm=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def weighted_step(params, opt_state, rng, batch, w):
+        def loss_fn(p):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg_train.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            per = p_losses(apply_fn, p, sched, dcfg_train, batch, t, noise, cond_train)
+            return cfg.loss_weight_train * (w * per).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def backward_step(params, opt_state, rng, test_batch, state_target, Q):
+        """Sample with final-step gradients, minimize the objective+safety
+        loss of the samples (reference: pipeline.py:238-268)."""
+
+        def loss_fn(p):
+            cond = TokamakConditioner(
+                u0=test_batch[:, 0, :N_STATES],
+                uT=jnp.stack([test_batch[:, :NT, 0], test_batch[:, :NT, 2]], axis=-1),
+            )
+            g = None
+            if ccfg.use_guidance:
+                g = jax.grad(lambda x: (guidance_loss(x, state_target, Q, tc)
+                                        * tc.guidance_scaler).sum())
+            out = ddim_sample(
+                apply_fn, p, sched, pipeline.diff_cfg, rng, test_batch.shape,
+                cond=cond, guidance_grad=g, j_scheduler=pipeline.j_scheduler,
+                final_step_grad=True,
+            )
+            return backward_loss(out * jnp.asarray(SCALER), state_target, Q, tc)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    Q = jnp.zeros(())
+    all_metrics = []
+    for epoch in range(cfg.finetune_epoch):
+        rng, key = jax.random.split(rng)
+        Q = pipeline.calibrate(params, cal_data, Q, key)
+
+        losses = []
+        if cfg.backward_finetune:
+            for lo in range(0, len(test_data), ccfg.test_batch_size):
+                sl = slice(lo, lo + ccfg.test_batch_size)
+                rng, key = jax.random.split(rng)
+                for _ in range(cfg.finetune_steps):
+                    rng, key = jax.random.split(rng)
+                    params, opt_state, loss = backward_step(
+                        params, opt_state, key,
+                        jnp.asarray(test_data.data[sl]),
+                        jnp.asarray(test_data.state_phys[sl]), Q,
+                    )
+                    losses.append(float(loss))
+        else:
+            w_train = pipeline.reweights(train_data, Q)
+            n = len(train_data)
+            pos = 0
+            for _ in range(cfg.finetune_steps):
+                sel = np.arange(pos, pos + cfg.train_batch_size) % n
+                pos = (pos + cfg.train_batch_size) % n
+                rng, key = jax.random.split(rng)
+                params, opt_state, loss = weighted_step(
+                    params, opt_state, key,
+                    jnp.asarray(train_data.data[sel]), jnp.asarray(w_train[sel]),
+                )
+                losses.append(float(loss))
+
+        rng, key = jax.random.split(rng)
+        metrics = pipeline.evaluate(params, test_data, Q, key)
+        log.info("tokamak epoch %d Q %.4f loss %.5f metrics %s",
+                 epoch, float(Q), float(np.mean(losses)) if losses else float("nan"),
+                 metrics)
+        all_metrics.append(
+            {"epoch": epoch, "quantile": float(Q),
+             "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
+        )
+    return params, Q, all_metrics
