@@ -1,0 +1,238 @@
+"""Unified CLI for the safediffcon_tpu framework.
+
+Replaces the reference's per-suite argparse mains and bash sweep wrappers
+(reference: 1D/train.py, 1D/run_posttrain.py, 1D/run_inference_ft.py,
+2d/train_2d.py, 2d/inference_2d.py, tokamak/pretrain.py,
+tokamak/run_inference.py, */scripts/*.sh) with one entry point:
+
+    python -m safediffcon_tpu.cli.main <task> <phase> [options]
+
+tasks:  burgers | tokamak | smoke
+phases: generate-data | pretrain | posttrain | infft | eval
+
+Results are written as JSON next to the checkpoints; checkpoints embed the
+conformal quantile (the reference convention).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _setup_logging():
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s",
+        stream=sys.stdout,
+    )
+
+
+def _save_results(out_dir: str, name: str, payload) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, name)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    return path
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data", default=None, help="dataset .npz path")
+    p.add_argument("--out", default="experiments", help="output/checkpoint dir")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--steps", type=int, default=None, help="override step count")
+    p.add_argument("--dim", type=int, default=None, help="override model width")
+    p.add_argument("--checkpoint", type=int, default=None, help="milestone to load")
+    p.add_argument("--n-train", type=int, default=None, help="generate-data: train size")
+    p.add_argument("--n-cal", type=int, default=None, help="generate-data: cal size")
+    p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
+
+
+def run_burgers(args) -> int:
+    import jax
+    from safediffcon_tpu.tasks.burgers import config as C  # noqa
+    from safediffcon_tpu.tasks.burgers.config import (
+        BurgersConformalConfig, BurgersInfFTConfig, BurgersPostTrainConfig,
+        BurgersPretrainConfig,
+    )
+    from safediffcon_tpu.tasks.burgers.data import BurgersDataset, generate_burgers_dataset
+    from safediffcon_tpu.tasks.burgers import pipeline as P
+
+    data_path = args.data or os.path.join(args.out, "burgers.npz")
+    if args.phase == "generate-data":
+        kw = {k: v for k, v in dict(n_train=args.n_train, n_cal=args.n_cal, n_test=args.n_test).items() if v is not None}
+        generate_burgers_dataset(data_path, seed=args.seed, **kw)
+        print(f"wrote {data_path}")
+        return 0
+
+    dim = args.dim or 128
+    if args.phase == "pretrain":
+        cfg = BurgersPretrainConfig(dim=dim, seed=args.seed)
+        train = BurgersDataset.load(data_path, "train")
+        P.pretrain(cfg, train, num_steps=args.steps,
+                   checkpoint_dir=os.path.join(args.out, "burgers-pretrain"))
+        return 0
+
+    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+    ckpt_dir = os.path.join(args.out, "burgers-pretrain")
+    step = args.checkpoint or latest_step(ckpt_dir)
+    restored = load_checkpoint(ckpt_dir, step)
+    params = restored["ema_params"]
+
+    pipe = P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
+    cal = BurgersDataset.load(data_path, "cal")
+    test = BurgersDataset.load(data_path, "test")
+
+    if args.phase == "posttrain":
+        cfg = BurgersPostTrainConfig(seed=args.seed)
+        finetune = BurgersDataset.load(data_path, "train", subset=cfg.finetune_subset_size)
+        state, Q, metrics = P.posttrain(cfg, pipe, params, finetune, cal, test,
+                                        finetune_steps=args.steps)
+        print(_save_results(args.out, "burgers_posttrain_results.json", metrics))
+    elif args.phase == "infft":
+        cfg = BurgersInfFTConfig(seed=args.seed)
+        state, Q, metrics = P.inference_finetune(cfg, pipe, params, cal, test)
+        print(_save_results(args.out, "burgers_infft_results.json", metrics))
+    elif args.phase == "eval":
+        rng = jax.random.PRNGKey(args.seed)
+        import jax.numpy as jnp
+        Q = pipe.calibrate(params, cal.data, jnp.zeros(()), rng)
+        metrics = pipe.evaluate(params, test, Q, rng)
+        metrics["quantile"] = float(Q)
+        print(_save_results(args.out, "burgers_eval_results.json", metrics))
+        print(json.dumps(metrics, default=float))
+    else:
+        raise SystemExit(f"unknown phase {args.phase}")
+    return 0
+
+
+def run_tokamak(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from safediffcon_tpu.tasks.tokamak import (
+        TokamakConformalConfig, TokamakDataset, TokamakPipeline,
+        TokamakPretrainConfig, finetune_config, generate_tokamak_dataset,
+        posttrain_config, pretrain, run_inference,
+    )
+
+    data_path = args.data or os.path.join(args.out, "tokamak.npz")
+    if args.phase == "generate-data":
+        kw = {k: v for k, v in dict(n_train=args.n_train, n_cal=args.n_cal, n_test=args.n_test).items() if v is not None}
+        generate_tokamak_dataset(data_path, seed=args.seed, **kw)
+        print(f"wrote {data_path}")
+        return 0
+
+    dim = args.dim or 128
+    if args.phase == "pretrain":
+        cfg = TokamakPretrainConfig(dim=dim, seed=args.seed)
+        train = TokamakDataset.load(data_path, "train")
+        pretrain(cfg, train, num_steps=args.steps,
+                 checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"))
+        return 0
+
+    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+    ckpt_dir = os.path.join(args.out, "tokamak-pretrain")
+    step = args.checkpoint or latest_step(ckpt_dir)
+    params = load_checkpoint(ckpt_dir, step)["ema_params"]
+
+    cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
+    if args.phase in ("posttrain", "infft"):
+        pipe = TokamakPipeline(cfg.conformal, dim=dim)
+        train = TokamakDataset.load(data_path, "train")
+        cal = TokamakDataset.load(data_path, "cal")
+        test = TokamakDataset.load(data_path, "test")
+        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))
+    elif args.phase == "eval":
+        pipe = TokamakPipeline(TokamakConformalConfig(), dim=dim)
+        cal = TokamakDataset.load(data_path, "cal")
+        test = TokamakDataset.load(data_path, "test")
+        rng = jax.random.PRNGKey(args.seed)
+        Q = pipe.calibrate(params, cal, jnp.zeros(()), rng)
+        metrics = pipe.evaluate(params, test, Q, rng)
+        metrics["quantile"] = float(Q)
+        print(_save_results(args.out, "tokamak_eval_results.json", metrics))
+        print(json.dumps(metrics, default=float))
+    else:
+        raise SystemExit(f"unknown phase {args.phase}")
+    return 0
+
+
+def run_smoke(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from safediffcon_tpu.tasks.smoke import (
+        SmokeConformalConfig, SmokeDataset, SmokePipeline, SmokePretrainConfig,
+        finetune_config, generate_smoke_dataset, posttrain_config, pretrain,
+        run_inference,
+    )
+
+    data_path = args.data or os.path.join(args.out, "smoke.npz")
+    if args.phase == "generate-data":
+        kw = {k: v for k, v in dict(n_train=args.n_train, n_cal=args.n_cal, n_test=args.n_test).items() if v is not None}
+        generate_smoke_dataset(data_path, seed=args.seed, **kw)
+        print(f"wrote {data_path}")
+        return 0
+
+    dim = args.dim or 64
+    if args.phase == "pretrain":
+        cfg = SmokePretrainConfig(dim=dim, seed=args.seed)
+        train = SmokeDataset.load(data_path, "train")
+        pretrain(cfg, train, num_steps=args.steps,
+                 checkpoint_dir=os.path.join(args.out, "smoke-pretrain"))
+        return 0
+
+    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+    ckpt_dir = os.path.join(args.out, "smoke-pretrain")
+    step = args.checkpoint or latest_step(ckpt_dir)
+    params = load_checkpoint(ckpt_dir, step)["ema_params"]
+
+    cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
+    if args.phase in ("posttrain", "infft"):
+        pipe = SmokePipeline(
+            cfg.conformal, dim=dim,
+            finetune_set="test" if cfg.backward_finetune else "train",
+        )
+        train = SmokeDataset.load(data_path, "train")
+        cal = SmokeDataset.load(data_path, "cal")
+        test = SmokeDataset.load(data_path, "test")
+        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
+    elif args.phase == "eval":
+        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim)
+        cal = SmokeDataset.load(data_path, "cal")
+        test = SmokeDataset.load(data_path, "test")
+        rng = jax.random.PRNGKey(args.seed)
+        Q = pipe.calibrate(params, cal, jnp.zeros(()), rng)
+        metrics = pipe.evaluate(params, test, Q, rng)
+        metrics["quantile"] = float(Q)
+        print(_save_results(args.out, "smoke_eval_results.json", metrics))
+        print(json.dumps(metrics, default=float))
+    else:
+        raise SystemExit(f"unknown phase {args.phase}")
+    return 0
+
+
+TASKS = {"burgers": run_burgers, "tokamak": run_tokamak, "smoke": run_smoke}
+PHASES = ("generate-data", "pretrain", "posttrain", "infft", "eval")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="safediffcon", description=__doc__)
+    parser.add_argument("task", choices=sorted(TASKS))
+    parser.add_argument("phase", choices=PHASES)
+    _add_common(parser)
+    args = parser.parse_args(argv)
+    _setup_logging()
+    return TASKS[args.task](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

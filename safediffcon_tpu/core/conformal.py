@@ -45,8 +45,9 @@ def quantile_rank(n: int, alpha: float, convention: str = "alpha") -> int:
         # reference: 1D/posttrain/conformal.py:107
         return min(int(math.ceil(alpha * (n + 1))), n) - 1
     if convention == "one_minus_alpha":
-        # reference: 2d/inference_2d.py:150-165
-        return min(max(int(math.ceil((n + 1) * (1.0 - alpha))) - 1, 0), n - 1)
+        # reference: 2d/inference_2d.py:150-165 —
+        # q = int(min(ceil((n+1)(1-alpha)), n-1)); rank = q - 1
+        return max(min(int(math.ceil((n + 1) * (1.0 - alpha))), n - 1) - 1, 0)
     raise ValueError(f"unknown quantile convention {convention!r}")
 
 

@@ -409,28 +409,34 @@ def upsample_control(c: jnp.ndarray, time_scale: int, space_scale: int) -> jnp.n
 def evaluate_control(
     masks: SmokeMasks,
     init_density_64: jnp.ndarray,  # (B, 64, 64)
-    c1_32: jnp.ndarray,  # (B, 32, 64, 64) x-control at record resolution
-    c2_32: jnp.ndarray,  # (B, 32, 64, 64) y-control
+    c1_32: jnp.ndarray,  # (B, nt, 64, 64) x-control at record resolution
+    c2_32: jnp.ndarray,  # (B, nt, 64, 64) y-control
     accuracy: float = 1e-6,
     max_iter: int = 500,
+    time_scale: int = 8,
+    space_scale: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, RolloutRecord]:
-    """The reference evaluation entry: upsample 32x64x64 controls to
-    256x128x128, roll out, return per-record-frame (smoke_rate,
-    smoke_safe_rate) downsampled to 32 frames plus the full record
-    (reference: evaluate_solver.py:209-349, per_evaluate in
-    2d/inference_2d.py:389-405)."""
+    """The reference evaluation entry: upsample (nt, nx, nx) controls to
+    (nt*time_scale, 128, 128), roll out, return per-record-frame
+    (smoke_rate, smoke_safe_rate) downsampled back to nt frames plus the
+    full record (reference: evaluate_solver.py:209-349, per_evaluate in
+    2d/inference_2d.py:389-405). The reference config is nt=32,
+    time_scale=8, space_scale=2 (64^2 records) -> 256 simulation frames;
+    space_scale=1 runs the scaled native-128^2 configuration."""
     b = init_density_64.shape[0]
-    dens128 = jnp.repeat(jnp.repeat(init_density_64, 2, axis=1), 2, axis=2)
+    dens128 = jnp.repeat(
+        jnp.repeat(init_density_64, space_scale, axis=1), space_scale, axis=2
+    )
     init_density = dens128[:, :CELLS, :CELLS]
 
-    c = jnp.stack([c1_32, c2_32], axis=-1)  # (B, 32, 64, 64, 2)
-    controls = upsample_control(c, 8, 2)  # (B, 256, 128, 128, 2)
-    controls = controls[:, :255]  # frames 0..254 drive steps 1..255
+    c = jnp.stack([c1_32, c2_32], axis=-1)  # (B, nt, nx, nx, 2)
+    controls = upsample_control(c, time_scale, space_scale)
+    controls = controls[:, :-1]  # frames 0..T-2 drive steps 1..T-1
     # interior is zeroed by assemble_control's band
 
     init_velocity = jnp.zeros((b, N, N, 2), init_density.dtype).at[..., 1].set(0.8)
 
     rec = smoke_rollout(masks, init_density, init_velocity, controls, accuracy, max_iter)
-    smoke32 = rec.smoke_rate[:, ::8]
-    safe32 = rec.smoke_safe_rate[:, ::8]
+    smoke32 = rec.smoke_rate[:, ::time_scale]
+    safe32 = rec.smoke_safe_rate[:, ::time_scale]
     return smoke32, safe32, rec

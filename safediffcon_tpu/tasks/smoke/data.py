@@ -1,0 +1,176 @@
+"""2D smoke dataset: generation (JAX solver) and in-memory splits.
+
+The reference generates data by simulating random smoke blobs steered by a
+4-phase waypoint velocity program through the maze, one scipy-CG process
+at a time, writing per-sim npy dirs (reference:
+2d/apps/a_gen_dataset_128.py:100-345,491-744). Here the whole batch of
+rollouts runs vmapped on device and the record is written as one npz per
+split. Splits follow the reference: train 19800 / cal 200 / test 50
+(2d/ddpm/data_2d.py:31-37) — but sizes are configurable since full-scale
+generation is hours of solver time.
+
+Record format per sample (reference: 2d/ddpm/data_2d.py:43-113): 32 frames
+of (64, 64) density/velocity/control (every 8th 128^2 frame, 2x spatial
+downsample) + scalar smoke/safe absorption fractions tiled over space ->
+(32, 64, 64, 7) channels-last.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from safediffcon_tpu.solvers import smoke as S
+from safediffcon_tpu.tasks.smoke.task import FRAMES, RESCALER, SIZE
+
+
+def _waypoints(rng: np.random.Generator):
+    """Random start + waypoint x-positions (reference: exp2_target_128,
+    2d/apps/a_gen_dataset_128.py:179-211)."""
+    m = 4
+    start_x = 2 * round(rng.integers(16 + 2 + m, 112 - 10 - m) / 2)
+    start_y = 2 * round(rng.integers(16 + 2 + m, 40 - 10 - m) / 2)
+    a = 0 if start_x < 64 - 8 else 1
+    t1 = rng.integers(16 + m, 64 - 8) if a == 0 else rng.integers(64, 112 - 8 - m)
+    t2 = rng.integers(16 + m, 64 - 8) if a == 0 else rng.integers(64, 112 - 8 - m)
+    t3 = rng.integers(50, 80 - 1 - 8)
+    end_x = rng.integers(64 - 8, 64 + 8 - 8)
+    xs = [int(start_x), int(t1), int(t2), int(t3), int(end_x)]
+    ys = [int(start_y), 40, 50, 64, 112]
+    return xs, ys
+
+
+def _velocity_program(
+    rng: np.random.Generator,
+    xs,
+    ys,
+    n_frames: int,
+    y_scale: float = 1.0,
+    min_scale: float = 2.0,
+    max_scale: float = 5.0,
+):
+    """Per-frame (vx, vy) targets from the waypoint path
+    (reference: get_per_vel, 2d/apps/a_gen_dataset_128.py:130-176)."""
+    seg = [
+        np.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) for i in range(4)
+    ]
+    total = sum(seg)
+    v = total / float(n_frames)
+    scale = rng.uniform(min_scale, max_scale)
+    vxs = [scale * v * (xs[i + 1] - xs[i]) / seg[i] for i in range(4)]
+    vys = [y_scale * v * (ys[i + 1] - ys[i]) / seg[i] for i in range(4)]
+    iv = [int(n_frames * seg[i] / total) for i in range(3)]
+    bounds = np.cumsum([iv[0] + 1, iv[1], iv[2]])
+    phase = np.searchsorted(bounds, np.arange(n_frames), side="right")
+    return np.asarray(vxs)[phase], np.asarray(vys)[phase]  # (n_frames,) each
+
+
+def generate_smoke_dataset(
+    path: str,
+    n_train: int = 512,
+    n_cal: int = 200,
+    n_test: int = 50,
+    seed: int = 0,
+    n_frames: int = 256,
+    record_frames: int = FRAMES,
+    space_scale: int = 2,
+    gen_batch: int = 16,
+    accuracy: float = 1e-6,
+    max_iter: int = 500,
+) -> None:
+    """Generate all splits with the vmapped JAX rollout and save one npz.
+
+    Controls are full-field N(vx, |vx|/10) noise recorded every
+    time_scale frames at 64^2 with the interior zeroed (reference:
+    get_envolve, 2d/apps/a_gen_dataset_128.py:287-313)."""
+    masks = S.build_masks()
+    time_scale = max(n_frames // record_frames, 1)
+    n_rec = n_frames // time_scale
+    size = S.N // space_scale
+    lo, hi = 16 // space_scale, 112 // space_scale
+    rng = np.random.default_rng(seed)
+    total = n_train + n_cal + n_test
+
+    rollout = jax.jit(
+        lambda d, v, c: S.smoke_rollout(masks, d, v, c, accuracy, max_iter)
+    )
+
+    recs = []
+    done = 0
+    while done < total:
+        b = min(gen_batch, total - done)
+        dens0 = np.zeros((b, S.CELLS, S.CELLS), np.float32)
+        controls = np.zeros((b, n_frames - 1, S.N, S.N, 2), np.float32)
+        for i in range(b):
+            xs, ys = _waypoints(rng)
+            dens0[i, ys[0] : ys[0] + 10, xs[0] : xs[0] + 10] = 1.0
+            vx, vy = _velocity_program(rng, xs, ys, n_frames)
+            noise = rng.normal(size=(n_frames - 1, S.N, S.N, 2)).astype(np.float32)
+            controls[i, ..., 0] = vx[:-1, None, None] * (1 + 0.1 * noise[..., 0])
+            controls[i, ..., 1] = vy[:-1, None, None] * (1 + 0.1 * noise[..., 1])
+
+        v0 = np.zeros((b, S.N, S.N, 2), np.float32)
+        v0[..., 1] = 0.8
+        rec = rollout(jnp.asarray(dens0), jnp.asarray(v0), jnp.asarray(controls))
+
+        # record frames: every time_scale-th, 2x spatial downsample
+        dens = np.zeros((b, n_rec, size, size), np.float32)
+        d = np.asarray(rec.density[:, ::time_scale])  # (b, n_rec, 127, 127)
+        dsub = d[:, :, ::space_scale, ::space_scale]
+        dens[:, :, : dsub.shape[2], : dsub.shape[3]] = dsub
+        vel = np.asarray(rec.velocity[:, ::time_scale, ::space_scale, ::space_scale])
+        ctrl_full = np.concatenate(
+            [np.zeros((b, 1, S.N, S.N, 2), np.float32), controls], axis=1
+        )
+        ctrl = ctrl_full[:, ::time_scale, ::space_scale, ::space_scale]
+        # zero interior of recorded control (indirect control band)
+        ctrl[:, :, lo:hi, lo:hi, :] = 0.0
+        smoke = np.asarray(rec.smoke_rate[:, ::time_scale])
+        safe = np.asarray(rec.smoke_safe_rate[:, ::time_scale])
+
+        out = np.zeros((b, n_rec, size, size, 7), np.float32)
+        out[..., 0] = dens
+        out[..., 1] = vel[..., 0]
+        out[..., 2] = vel[..., 1]
+        out[..., 3] = ctrl[..., 0]
+        out[..., 4] = ctrl[..., 1]
+        out[..., 5] = smoke[:, :, None, None]
+        out[..., 6] = safe[:, :, None, None]
+        recs.append(out)
+        done += b
+
+    data = np.concatenate(recs)
+    splits = {
+        "train": data[:n_train],
+        "cal": data[n_train : n_train + n_cal],
+        "test": data[n_train + n_cal :],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **{f"{k}_data": v for k, v in splits.items()})
+
+
+@dataclasses.dataclass
+class SmokeDataset:
+    """In-memory split: data (N, F, 64, 64, 7).
+
+    `data` is normalized (/RESCALER); `raw` is physical units (the test
+    split of the reference is consumed unscaled, 2d/ddpm/data_2d.py:92-113).
+    """
+
+    data: np.ndarray
+    raw: np.ndarray
+
+    @classmethod
+    def load(cls, path: str, split: str, subset: Optional[int] = None) -> "SmokeDataset":
+        with np.load(path) as z:
+            raw = z[f"{split}_data"]
+        if subset is not None:
+            raw = raw[:subset]
+        return cls(data=(raw / RESCALER).astype(np.float32), raw=raw)
+
+    def __len__(self) -> int:
+        return self.data.shape[0]

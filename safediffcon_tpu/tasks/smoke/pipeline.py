@@ -1,0 +1,365 @@
+"""2D smoke pipelines: pretrain + unified post-train / backward-finetune.
+
+Replaces the reference's host-orchestrated InferencePipeline
+(reference: 2d/inference_2d.py:63-507) with jitted device programs. Per
+reference run() order (2d/inference_2d.py:286-368): each epoch first
+FINETUNES (weighted diffusion loss on the train set, or InfFT: sample ->
+resample conditioned on the generated control with final-step gradients ->
+backward loss), then recalibrates Q-hat, then samples + evaluates through
+the JAX smoke solver (the reference's per-sample process pool is a single
+vmapped rollout here). Optimizer: Adam(lr, betas (0.9, 0.99)), no EMA
+(reference: 2d/inference_2d.py:79).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
+from safediffcon_tpu.core.sampling import ddim_sample
+from safediffcon_tpu.core.schedules import make_schedule
+from safediffcon_tpu.core.train import TrainState, make_optimizer
+from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
+from safediffcon_tpu.models.unet3d import UNet3D
+from safediffcon_tpu.solvers import smoke as S
+from safediffcon_tpu.tasks.smoke.task import (
+    CX,
+    CY,
+    RESCALER,
+    SmokeConditioner,
+    SmokeTaskConfig,
+    backward_loss,
+    conformal_score,
+    guidance_grad_fn,
+    shift_weights,
+    tile_rate_channels,
+    train_conditioner,
+)
+from safediffcon_tpu.tasks.smoke.config import (
+    SmokeConformalConfig,
+    SmokeInferenceConfig,
+    SmokePretrainConfig,
+)
+from safediffcon_tpu.tasks.smoke.data import SmokeDataset
+from safediffcon_tpu.tasks.smoke.metrics import evaluate_samples, solver_rollout
+
+log = logging.getLogger(__name__)
+
+
+def build_model(dim=64, dim_mults=(1, 2, 4)):
+    return UNet3D(dim=dim, dim_mults=dim_mults, channels=7)
+
+
+def init_params(model, rng, frames=32, size=64):
+    x = jnp.zeros((1, frames, size, size, 7))
+    return model.init(rng, x, jnp.zeros((1,), jnp.int32))
+
+
+class SmokePipeline:
+    """Calibration, sampling and solver evaluation for the smoke task."""
+
+    def __init__(
+        self,
+        conf_cfg: SmokeConformalConfig,
+        dim: int = 64,
+        dim_mults=(1, 2, 4),
+        solver_accuracy: float = 1e-6,
+        solver_max_iter: int = 500,
+        solver_time_scale: int = 8,
+        solver_space_scale: int = 2,
+        finetune_set: str = "train",
+    ):
+        self.ccfg = conf_cfg
+        self.task_cfg = SmokeTaskConfig(
+            safe_bound=conf_cfg.safe_bound,
+            w_safe=conf_cfg.w_safe,
+            standard_fixed_ratio=conf_cfg.standard_fixed_ratio,
+            finetune_standard_fixed_ratio=conf_cfg.finetune_standard_fixed_ratio,
+            alpha=conf_cfg.alpha,
+        )
+        self.finetune_set = finetune_set
+        self.model = build_model(dim, dim_mults)
+        self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
+        self.sched = make_schedule(conf_cfg.timesteps, conf_cfg.beta_schedule)
+        self.diff_cfg = DiffusionConfig(
+            timesteps=conf_cfg.timesteps,
+            sampling_timesteps=conf_cfg.ddim_sampling_steps,
+            ddim_eta=conf_cfg.ddim_eta,
+            beta_schedule=conf_cfg.beta_schedule,
+        )
+        self.masks = S.build_masks()
+        self.solver_kw = dict(
+            accuracy=solver_accuracy, max_iter=solver_max_iter,
+            time_scale=solver_time_scale, space_scale=solver_space_scale,
+        )
+        tc = self.task_cfg
+
+        @jax.jit
+        def _cal_batch(params, rng, state, Q):
+            """Calibration: sample conditioned on (init density, control);
+            score + weights (reference: 2d/inference_2d.py:113-148)."""
+            cond = SmokeConditioner(
+                init=state[:, 0, :, :, 0], control=state[..., CX : CY + 1]
+            )
+            out = ddim_sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond,
+            )
+            scores = conformal_score(out, state)
+            w = shift_weights(state, Q, tc, "train")
+            if self.finetune_set == "test":
+                w = w * shift_weights(state, Q, tc, "test")
+            return scores, w
+
+        self._cal_batch = _cal_batch
+
+        @functools.partial(jax.jit, static_argnames=("guided", "final_step_grad"))
+        def _sample_test(params, rng, state, Q, guided=True, final_step_grad=False,
+                         control=None):
+            """Test sampling conditioned on the initial density; returns
+            PHYSICAL-unit prediction with tiled rate channels
+            (reference: run_model, 2d/inference_2d.py:197-237)."""
+            cond = SmokeConditioner(init=state[:, 0, :, :, 0], control=control)
+            g = guidance_grad_fn(Q, tc) if guided else None
+            out = ddim_sample(
+                self.apply_fn, params, self.sched, self.diff_cfg, rng,
+                state.shape, cond=cond, guidance_grad=g,
+                final_step_grad=final_step_grad,
+            )
+            # post-loop control re-imposition (diffusion_2d.py:400-402)
+            if control is not None:
+                out = out.at[..., CX : CY + 1].set(control)
+            return tile_rate_channels(out * jnp.asarray(RESCALER))
+
+        self._sample_test = _sample_test
+
+        @functools.partial(jax.jit, static_argnames=("guided",))
+        def _evaluate(params, rng, state_raw, Q, guided=True):
+            """Sample -> solver rollout -> metrics, one fused program
+            (reference: 2d/inference_2d.py:336-368,407-507)."""
+            state = state_raw / jnp.asarray(RESCALER)
+            pred = _sample_test(params, rng, state, Q, guided=guided)
+            pred = pred.at[:, 0, :, :, 0].set(state_raw[:, 0, :, :, 0])
+            sol = solver_rollout(self.masks, pred, state_raw, **self.solver_kw)
+            return evaluate_samples(pred, sol, Q, tc.safe_bound)
+
+        self._evaluate = _evaluate
+
+        @jax.jit
+        def _weights_batch(state, Q):
+            return shift_weights(state, Q, tc, "train")
+
+        self._weights_batch = _weights_batch
+
+    def calibrate(self, params, cal: SmokeDataset, Q, rng) -> jnp.ndarray:
+        bs = self.ccfg.cal_batch_size
+        scores, weights = [], []
+        for i in range(self.ccfg.num_cal_batch):
+            sl = slice(i * bs, (i + 1) * bs)
+            rng, key = jax.random.split(rng)
+            s, w = self._cal_batch(params, key, jnp.asarray(cal.data[sl]), Q)
+            scores.append(s)
+            weights.append(w)
+        scores = jnp.concatenate(scores)
+        weights = normalize_weights(jnp.concatenate(weights))
+        # inverted-alpha rank convention (reference: 2d/inference_2d.py:150-165)
+        return weighted_quantile(weights * scores, self.ccfg.alpha, "one_minus_alpha")
+
+    def reweights(self, data: SmokeDataset, Q, batch_size: int = 256) -> np.ndarray:
+        ws = []
+        for lo in range(0, len(data), batch_size):
+            ws.append(self._weights_batch(jnp.asarray(data.data[lo : lo + batch_size]), Q))
+        return np.asarray(normalize_weights(jnp.concatenate(ws)))
+
+    def evaluate(self, params, test: SmokeDataset, Q, rng, guided=None) -> Dict:
+        guided = self.ccfg.use_guidance if guided is None else guided
+        m = self._evaluate(params, rng, jnp.asarray(test.raw), Q, guided=guided)
+        return {k: float(v) for k, v in m.items()}
+
+
+# ---------------------------------------------------------------------------
+# Pretraining (reference: 2d/ddpm/diffusion_2d.py:462-643 Trainer)
+# ---------------------------------------------------------------------------
+
+def multistep_lr(base_lr: float, milestones, gamma: float):
+    """torch MultiStepLR closed form (reference: diffusion_2d.py:520)."""
+    ms = np.asarray(sorted(milestones))
+
+    def schedule(step):
+        k = jnp.searchsorted(jnp.asarray(ms), step, side="right")
+        return base_lr * gamma**k
+
+    return schedule
+
+
+def pretrain(
+    cfg: SmokePretrainConfig,
+    train_data: SmokeDataset,
+    num_steps: Optional[int] = None,
+    log_every: int = 500,
+    checkpoint_dir: Optional[str] = None,
+    params=None,
+):
+    from safediffcon_tpu.utils.checkpoint import save_checkpoint
+
+    num_steps = num_steps or cfg.train_num_steps
+    model = build_model(cfg.dim, cfg.dim_mults)
+    apply_fn = lambda p, x, t: model.apply(p, x, t)
+    sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
+    dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,
+                           beta_schedule=cfg.beta_schedule)
+    cond = train_conditioner()
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        rng, key = jax.random.split(rng)
+        f, s = train_data.data.shape[1], train_data.data.shape[2]
+        params = init_params(model, key, frames=f, size=s)
+
+    lr = multistep_lr(cfg.lr, cfg.lr_milestones, cfg.lr_gamma)
+    tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
+    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+
+    @jax.jit
+    def step_fn(state, rng, batch):
+        def loss_fn(params):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            return p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    n = len(train_data)
+    order = np.random.default_rng(cfg.seed).permutation(n)
+    pos = 0
+    for step in range(num_steps):
+        if pos + cfg.batch_size > n:
+            order = np.random.default_rng(cfg.seed + step).permutation(n)
+            pos = 0
+        sel = order[pos : pos + cfg.batch_size]
+        pos += cfg.batch_size
+        rng, key = jax.random.split(rng)
+        state, loss = step_fn(state, key, jnp.asarray(train_data.data[sel]))
+        if (step + 1) % log_every == 0:
+            log.info("smoke pretrain step %d loss %.5f", step + 1, float(loss))
+        if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state, step + 1)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Unified inference pipeline (posttrain or backward finetune)
+# ---------------------------------------------------------------------------
+
+def run_inference(
+    cfg: SmokeInferenceConfig,
+    pipeline: SmokePipeline,
+    params,
+    train_data: Optional[SmokeDataset],
+    cal_data: SmokeDataset,
+    test_data: SmokeDataset,
+):
+    """Reference run() loop (2d/inference_2d.py:286-368): per epoch
+    finetune -> conformal -> evaluate. Returns (params, Q, metrics)."""
+    ccfg = cfg.conformal
+    tc = pipeline.task_cfg
+    apply_fn = pipeline.apply_fn
+    sched = pipeline.sched
+    dcfg_train = DiffusionConfig(timesteps=ccfg.timesteps,
+                                 beta_schedule=ccfg.beta_schedule)
+    cond_train = train_conditioner()
+
+    tx = make_optimizer("adam", cfg.finetune_lr, betas=(0.9, 0.99), max_grad_norm=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def weighted_step(params, opt_state, rng, batch, w):
+        def loss_fn(p):
+            rng_t, rng_n = jax.random.split(rng)
+            b = batch.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, dcfg_train.timesteps)
+            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+            per = p_losses(apply_fn, p, sched, dcfg_train, batch, t, noise, cond_train)
+            return (w * per).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def backward_step(params, opt_state, rng, test_batch, Q):
+        """InfFT: guided sample (no grad) -> resample conditioned on the
+        generated control with final-step grads -> backward loss
+        (reference: 2d/inference_2d.py:197-237,267-284)."""
+        rng1, rng2 = jax.random.split(rng)
+        cond = SmokeConditioner(init=test_batch[:, 0, :, :, 0])
+        g = guidance_grad_fn(Q, tc) if ccfg.use_guidance else None
+        first = ddim_sample(
+            apply_fn, jax.lax.stop_gradient(params), sched, pipeline.diff_cfg,
+            rng1, test_batch.shape, cond=cond, guidance_grad=g,
+        )
+        control = jax.lax.stop_gradient(first[..., CX : CY + 1])
+
+        def loss_fn(p):
+            cond2 = SmokeConditioner(init=test_batch[:, 0, :, :, 0], control=control)
+            out = ddim_sample(
+                apply_fn, p, sched, pipeline.diff_cfg, rng2, test_batch.shape,
+                cond=cond2, final_step_grad=True,
+            )
+            out = out.at[..., CX : CY + 1].set(control)
+            return backward_loss(out * jnp.asarray(RESCALER), Q, tc)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    Q = jnp.zeros(())
+    all_metrics = []
+    for epoch in range(cfg.finetune_epoch):
+        losses = []
+        if cfg.backward_finetune:
+            for lo in range(0, len(test_data), ccfg.test_batch_size):
+                sl = slice(lo, lo + ccfg.test_batch_size)
+                for _ in range(cfg.finetune_steps):
+                    rng, key = jax.random.split(rng)
+                    params, opt_state, loss = backward_step(
+                        params, opt_state, key, jnp.asarray(test_data.data[sl]), Q
+                    )
+                    losses.append(float(loss))
+        else:
+            w_train = pipeline.reweights(train_data, Q)
+            n = len(train_data)
+            pos = 0
+            for _ in range(cfg.finetune_steps):
+                sel = np.arange(pos, pos + cfg.finetune_batch_size) % n
+                pos = (pos + cfg.finetune_batch_size) % n
+                rng, key = jax.random.split(rng)
+                params, opt_state, loss = weighted_step(
+                    params, opt_state, key,
+                    jnp.asarray(train_data.data[sel]), jnp.asarray(w_train[sel]),
+                )
+                losses.append(float(loss))
+
+        rng, key = jax.random.split(rng)
+        Q = pipeline.calibrate(params, cal_data, Q, key)
+
+        rng, key = jax.random.split(rng)
+        metrics = pipeline.evaluate(params, test_data, Q, key)
+        log.info("smoke epoch %d Q %.5f loss %.5f metrics %s",
+                 epoch, float(Q), float(np.mean(losses)) if losses else float("nan"),
+                 metrics)
+        all_metrics.append(
+            {"epoch": epoch, "quantile": float(Q),
+             "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
+        )
+    return params, Q, all_metrics
