@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: masked-Poisson pressure solve by conjugate gradient.
+
+Native-tier replacement for the reference's CUDA pressure_solve_op
+(reference: 2d/phi/solver/cuda/src/pressure_solve_op.cu.cc — a cuBLAS CG
+loop over a prebuilt sparse Laplacian; and laplace_op.cu.cc — the masked
+matrix build). The TPU redesign fuses BOTH: the 5-point obstacle stencil is
+applied on the fly as shifted elementwise multiplies (no matrix), and the
+entire CG iteration runs in VMEM — one grid program per batch sample, so
+every sample gets its own convergence test and zero HBM round-trips
+between iterations.
+
+The 127x127 pressure fields are zero-padded to (128, 128) for lane
+alignment; the stencil coefficients are zero on the pad ring and at domain
+edges, which also neutralizes the circular wrap of `pltpu.roll`.
+
+Gradient: CG on the cotangent (A symmetric), mirroring
+2d/phi/solver/sparse.py:106-112 — same convention as the XLA fallback in
+`solvers/smoke.py`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 128  # padded field size (CELLS=127 -> 128 lanes)
+
+
+def _shift(x, shift, axis):
+    # pltpu.roll requires non-negative shifts; a shift of -1 is PAD-1.
+    # The circular wraparound is neutralized by the zero stencil ring.
+    return pltpu.roll(x, shift=shift % x.shape[axis], axis=axis)
+
+
+def _make_kernel(accuracy: float, max_iter: int):
+    def kernel(div_ref, diag_ref, upy_ref, loy_ref, upx_ref, lox_ref, out_ref):
+        diag = diag_ref[:]
+        upy = upy_ref[:]
+        loy = loy_ref[:]
+        upx = upx_ref[:]
+        lox = lox_ref[:]
+
+        def apply_A(p):
+            return (
+                diag * p
+                + upy * _shift(p, -1, 0)
+                + loy * _shift(p, 1, 0)
+                + upx * _shift(p, -1, 1)
+                + lox * _shift(p, 1, 1)
+            )
+
+        rhs = div_ref[0]
+        x0 = jnp.zeros_like(rhs)
+
+        def cond(state):
+            _, _, _, r, i = state
+            return jnp.logical_and(jnp.abs(r).max() >= accuracy, i < max_iter)
+
+        def body(state):
+            x, m, am, r, i = state
+            tmp = (m * am).sum()
+            a = (m * r).sum() / tmp
+            x = x + a * m
+            r = r - a * am
+            b = -(r * am).sum() / tmp
+            m = r + b * m
+            return x, m, apply_A(m), r, i + 1
+
+        state = (x0, rhs, apply_A(rhs), rhs, jnp.zeros((), jnp.int32))
+        x, *_ = jax.lax.while_loop(cond, body, state)
+        out_ref[0] = x
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("accuracy", "max_iter", "interpret"))
+def _cg_pallas(div_pad, diag, upy, loy, upx, lox, accuracy, max_iter, interpret):
+    b = div_pad.shape[0]
+    stencil_spec = pl.BlockSpec(
+        (PAD, PAD), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _make_kernel(accuracy, max_iter),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, PAD, PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            stencil_spec, stencil_spec, stencil_spec, stencil_spec, stencil_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PAD, PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(div_pad.shape, div_pad.dtype),
+        interpret=interpret,
+    )(div_pad, diag, upy, loy, upx, lox)
+
+
+def _pad2(x):
+    """(..., 127, 127) -> (..., 128, 128) zero pad."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, PAD - x.shape[-2]), (0, PAD - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def _solve(masks, div, accuracy, max_iter, interpret):
+    cells = div.shape[-1]
+    out = _cg_pallas(
+        _pad2(div),
+        _pad2(masks.diag), _pad2(masks.up_y), _pad2(masks.lo_y),
+        _pad2(masks.up_x), _pad2(masks.lo_x),
+        accuracy, max_iter, interpret,
+    )
+    return out[..., :cells, :cells]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3, 4))
+def pressure_solve_pallas(
+    masks, div: jnp.ndarray, accuracy: float = 1e-6, max_iter: int = 500,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Solve A p = div with per-sample VMEM-resident CG.
+
+    masks: SmokeMasks (solvers.smoke.build_masks()); div: (B, 127, 127).
+    Set interpret=True to run the kernel in interpreter mode (CPU tests).
+    """
+    return _solve(masks, div, accuracy, max_iter, interpret)
+
+
+def _fwd(masks, div, accuracy, max_iter, interpret):
+    return _solve(masks, div, accuracy, max_iter, interpret), None
+
+
+def _bwd(masks, accuracy, max_iter, interpret, _, g):
+    return (_solve(masks, g, accuracy, max_iter, interpret),)
+
+
+pressure_solve_pallas.defvjp(_fwd, _bwd)

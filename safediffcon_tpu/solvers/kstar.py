@@ -366,3 +366,42 @@ def closed_loop_batch(params: Dict, rng: jax.Array, n: int):
     tokamak/data_parallel_generate.py:17-33)."""
     keys = jax.random.split(rng, n)
     return jax.vmap(lambda k: closed_loop_rollout(params, k))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Plasma boundary shape predictor (visualization utility)
+# ---------------------------------------------------------------------------
+
+def k2rz_forward(params: Dict, ip, bt, betap, rin, rout, k, du, dl,
+                 n_theta: int = 64, xpt_correction: bool = True,
+                 closed_surface: bool = True):
+    """Plasma boundary (R, Z) contour from 0-D parameters
+    (reference: tokamak/common/model_structure.py:5-38, k2rz model0).
+
+    Returns numpy arrays (rbdry, zbdry); the x-point correction mutates the
+    extremal contour points exactly as the reference post-processing does.
+    """
+    x = jnp.asarray([ip, bt, betap, rin, rout, k, du, dl], dtype=jnp.float32)
+    y = np.asarray(mlp_forward(params["k2rz"], x, 4))
+    rbdry, zbdry = y[:n_theta].copy(), y[n_theta:].copy()
+    if xpt_correction:
+        rgeo = 0.5 * (rbdry.max() + rbdry.min())
+        amin = 0.5 * (rbdry.max() - rbdry.min())
+        if du <= dl:
+            rx = rgeo - amin * dl
+            zx = zbdry.max() - 2.0 * k * amin
+            rx2 = rgeo - amin * du
+            rbdry[np.argmin(zbdry)] = rx
+            zbdry[np.argmin(zbdry)] = zx
+            rbdry[np.argmax(zbdry)] = rx2
+        else:
+            rx = rgeo - amin * du
+            zx = zbdry.min() + 2.0 * k * amin
+            rx2 = rgeo - amin * dl
+            rbdry[np.argmax(zbdry)] = rx
+            zbdry[np.argmax(zbdry)] = zx
+            rbdry[np.argmin(zbdry)] = rx2
+    if closed_surface:
+        rbdry = np.append(rbdry, rbdry[0])
+        zbdry = np.append(zbdry, zbdry[0])
+    return rbdry, zbdry
