@@ -34,7 +34,8 @@ DDIM_STEPS = 200
 
 
 def main():
-    model = UNet2D(dim=128, dim_mults=(1, 2, 4, 8), channels=3, resnet_block_groups=1)
+    model = UNet2D(dim=128, dim_mults=(1, 2, 4, 8), channels=3,
+                   resnet_block_groups=1, compute_dtype=jnp.bfloat16)
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(1000, "cosine")
     dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=DDIM_STEPS, ddim_eta=1.0)
@@ -72,7 +73,7 @@ def main():
     print(json.dumps({
         "metric": "guided_denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 2),
-        "unit": "steps/s (batch 50, DDIM 200, UNet2D dim 128, guidance on)",
+        "unit": "steps/s (batch 50, DDIM 200, UNet2D dim 128 bf16, guidance on)",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
     }))
 

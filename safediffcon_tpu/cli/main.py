@@ -40,6 +40,27 @@ def _save_results(out_dir: str, name: str, payload) -> str:
     return path
 
 
+def _register_run(out_dir: str, args) -> None:
+    """Experiment metadata registry (reference convention:
+    experiments/metadata/*.json, 1D/train.py:34-50,
+    tokamak/inference/pipeline.py:426-443)."""
+    import datetime
+
+    meta_path = os.path.join(out_dir, "metadata", f"{args.phase}.json")
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    run_id = f"{args.task}-{args.phase}-{len(meta)}"
+    meta[run_id] = {
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+        "args": {k: v for k, v in vars(args).items() if v is not None},
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data", default=None, help="dataset .npz path")
     p.add_argument("--out", default="experiments", help="output/checkpoint dir")
@@ -231,6 +252,7 @@ def main(argv=None) -> int:
     _add_common(parser)
     args = parser.parse_args(argv)
     _setup_logging()
+    _register_run(args.out, args)
     return TASKS[args.task](args)
 
 

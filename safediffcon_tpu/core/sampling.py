@@ -274,3 +274,82 @@ def sample(
         j_scheduler=j_scheduler,
         final_step_grad=final_step_grad,
     )
+
+
+def dpm_solver_sample(
+    apply_fn: Callable,
+    params,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    rng: jax.Array,
+    shape,
+    cond=None,
+    guidance_grad: Optional[Callable] = None,
+    j_scheduler: Optional[Callable] = None,
+    final_step_grad: bool = False,
+) -> jnp.ndarray:
+    """Guided DPM-Solver++(2M) sampler as a single lax.scan.
+
+    A beyond-parity fast sampler (DPM-Solver++, arXiv 2211.01095): a
+    second-order multistep update in data-prediction space that reaches
+    DDIM-200 quality in ~20-50 steps. Shares the conditioning/guidance/
+    final-step-grad semantics of `ddim_sample`: conditions re-imposed after
+    every update, guidance gradient applied inside model_predictions, and
+    (for InfFT) parameters differentiable only through the final step.
+    """
+    cond = cond if cond is not None else IdentityConditioner()
+    j_scheduler = j_scheduler or (lambda t: 1.0)
+    pairs = _ddim_times(cfg)
+    assert pairs[-1][1] < 0, "last pair must end at t=-1"
+    scan_pairs = jnp.asarray(pairs[:-1], dtype=jnp.int32)
+    final_time = pairs[-1][0]
+
+    acp = sched.alphas_cumprod
+
+    def lam(t):
+        a = acp[t]
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def alpha_sigma(t):
+        a = acp[t]
+        return jnp.sqrt(a), jnp.sqrt(1.0 - a)
+
+    img = jax.random.normal(rng, shape, dtype=jnp.float32)
+    img = cond.apply(img)
+    scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
+
+    def predict_x0(params_, x, time):
+        pred = model_predictions(
+            apply_fn, params_, sched, cfg, x, time,
+            guidance_grad=guidance_grad, j_scale=j_scheduler(time),
+            clip_x_start=True, rederive_pred_noise=True,
+        )
+        return pred.pred_x_start
+
+    def body(carry, pair):
+        img, x0_prev, h_prev, is_first = carry
+        t, t_next = pair[0], pair[1]
+        x0 = predict_x0(scan_params, img, t)
+
+        lam_t, lam_s = lam(t), lam(t_next)
+        h = lam_s - lam_t
+        a_s, s_s = alpha_sigma(t_next)
+        _, s_t = alpha_sigma(t)
+
+        # 2M correction using the previous x0 (first step falls back to
+        # first order, which equals deterministic DDIM)
+        r = h_prev / h
+        D_2m = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        D = jnp.where(is_first, x0, D_2m)
+
+        img = (s_s / s_t) * img - a_s * jnp.expm1(-h) * D
+        img = cond.apply(img)
+        return (img, x0, h, jnp.zeros((), jnp.bool_)), None
+
+    carry0 = (img, jnp.zeros_like(img), jnp.ones(()), jnp.ones((), jnp.bool_))
+    if len(pairs) > 1:
+        (img, _, _, _), _ = jax.lax.scan(body, carry0, scan_pairs)
+    if final_step_grad:
+        img = jax.lax.stop_gradient(img)
+    # final step: x = x0 (matching the DDIM t_next < 0 branch)
+    return predict_x0(params, img, final_time)

@@ -61,13 +61,14 @@ class TimeMLP(nn.Module):
 
     dim: int
     time_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, t):
         x = SinusoidalPosEmb(self.dim)(t)
-        x = nn.Dense(self.time_dim)(x)
+        x = nn.Dense(self.time_dim, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.time_dim)(x)
+        x = nn.Dense(self.time_dim, dtype=self.dtype)(x)
         return x
 
 
@@ -77,11 +78,13 @@ class ConvBlock(nn.Module):
     dim_out: int
     groups: int = 8
     ndim: int = 2  # number of spatial dims
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = nn.Conv(self.dim_out, kernel_size=(3,) * self.ndim, padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        x = nn.Conv(self.dim_out, kernel_size=(3,) * self.ndim, padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
@@ -96,20 +99,23 @@ class ResnetBlock(nn.Module):
     time_emb: bool = True
     groups: int = 8
     ndim: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, time_emb=None):
         scale_shift = None
         if self.time_emb and time_emb is not None:
-            h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
+            h_t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
             h_t = h_t.reshape(h_t.shape[0], *((1,) * self.ndim), h_t.shape[-1])
             scale_shift = jnp.split(h_t, 2, axis=-1)
 
-        h = ConvBlock(self.dim_out, groups=self.groups, ndim=self.ndim)(x, scale_shift)
-        h = ConvBlock(self.dim_out, groups=self.groups, ndim=self.ndim)(h)
+        h = ConvBlock(self.dim_out, groups=self.groups, ndim=self.ndim,
+                      dtype=self.dtype)(x, scale_shift)
+        h = ConvBlock(self.dim_out, groups=self.groups, ndim=self.ndim,
+                      dtype=self.dtype)(h)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, kernel_size=(1,) * self.ndim)(x)
+            x = nn.Conv(self.dim_out, kernel_size=(1,) * self.ndim, dtype=self.dtype)(x)
         return h + x
 
 
@@ -126,13 +132,14 @@ class LinearAttention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         tokens, spatial = _flatten_tokens(x)
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False)(tokens)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # (B, N, H*D) -> (B, H, D, N)
@@ -147,7 +154,7 @@ class LinearAttention(nn.Module):
         out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, D, N)
         b, h, d, n = out.shape
         out = out.transpose(0, 3, 1, 2).reshape(b, n, h * d)
-        out = nn.Dense(dim)(out)
+        out = nn.Dense(dim, dtype=self.dtype)(out)
         out = ChanLayerNorm()(out) if len(spatial) > 1 else RMSNorm()(out)
         return out.reshape(x.shape[0], *spatial, dim)
 
@@ -158,13 +165,14 @@ class Attention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         tokens, spatial = _flatten_tokens(x)
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False)(tokens)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # (B, N, H*D) -> (B, H, N, D)
@@ -178,7 +186,7 @@ class Attention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        out = nn.Dense(dim)(out)
+        out = nn.Dense(dim, dtype=self.dtype)(out)
         return out.reshape(x.shape[0], *spatial, dim)
 
 
@@ -202,11 +210,13 @@ class Downsample(nn.Module):
 
     dim_out: int
     ndim: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         if self.ndim == 1:
-            return nn.Conv(self.dim_out, kernel_size=(4,), strides=(2,), padding=((1, 1),))(x)
+            return nn.Conv(self.dim_out, kernel_size=(4,), strides=(2,),
+                           padding=((1, 1),), dtype=self.dtype)(x)
         b = x.shape[0]
         c = x.shape[-1]
         spatial = x.shape[1:-1]
@@ -218,7 +228,7 @@ class Downsample(nn.Module):
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         else:
             raise NotImplementedError(self.ndim)
-        return nn.Conv(self.dim_out, kernel_size=(1,) * self.ndim)(x)
+        return nn.Conv(self.dim_out, kernel_size=(1,) * self.ndim, dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
@@ -226,9 +236,11 @@ class Upsample(nn.Module):
 
     dim_out: int
     ndim: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for ax in range(1, 1 + self.ndim):
             x = jnp.repeat(x, 2, axis=ax)
-        return nn.Conv(self.dim_out, kernel_size=(3,) * self.ndim, padding="SAME")(x)
+        return nn.Conv(self.dim_out, kernel_size=(3,) * self.ndim, padding="SAME",
+                       dtype=self.dtype)(x)

@@ -42,9 +42,10 @@ class UNet2D(nn.Module):
         x = x.astype(dt)
         groups = self.resnet_block_groups
 
-        time_emb = TimeMLP(self.dim, self.dim * 4)(t).astype(dt)
+        dty = None if dt == jnp.float32 else dt
+        time_emb = TimeMLP(self.dim, self.dim * 4, dtype=dty)(t).astype(dt)
 
-        x = nn.Conv(self.dim, kernel_size=(7, 7), padding="SAME", name="init_conv")(x)
+        x = nn.Conv(self.dim, kernel_size=(7, 7), padding="SAME", name="init_conv", dtype=dty)(x)
         r = x
 
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
@@ -54,40 +55,40 @@ class UNet2D(nn.Module):
         h = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_in, groups=groups, ndim=ndim)(x, time_emb)
+            x = ResnetBlock(dim_in, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
             h.append(x)
-            x = ResnetBlock(dim_in, groups=groups, ndim=ndim)(x, time_emb)
+            x = ResnetBlock(dim_in, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
             x = PreNormResidual(
-                LinearAttention(self.attn_heads, self.attn_dim_head), use_layernorm=True
+                LinearAttention(self.attn_heads, self.attn_dim_head, dtype=dty), use_layernorm=True
             )(x)
             h.append(x)
             if not is_last:
-                x = Downsample(dim_out, ndim=ndim)(x)
+                x = Downsample(dim_out, ndim=ndim, dtype=dty)(x)
             else:
-                x = nn.Conv(dim_out, kernel_size=(3, 3), padding="SAME")(x)
+                x = nn.Conv(dim_out, kernel_size=(3, 3), padding="SAME", dtype=dty)(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups=groups, ndim=ndim)(x, time_emb)
+        x = ResnetBlock(mid_dim, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
         x = PreNormResidual(
-            Attention(self.attn_heads, self.attn_dim_head), use_layernorm=True
+            Attention(self.attn_heads, self.attn_dim_head, dtype=dty), use_layernorm=True
         )(x)
-        x = ResnetBlock(mid_dim, groups=groups, ndim=ndim)(x, time_emb)
+        x = ResnetBlock(mid_dim, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i == num_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups=groups, ndim=ndim)(x, time_emb)
+            x = ResnetBlock(dim_out, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups=groups, ndim=ndim)(x, time_emb)
+            x = ResnetBlock(dim_out, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
             x = PreNormResidual(
-                LinearAttention(self.attn_heads, self.attn_dim_head), use_layernorm=True
+                LinearAttention(self.attn_heads, self.attn_dim_head, dtype=dty), use_layernorm=True
             )(x)
             if not is_last:
-                x = Upsample(dim_in, ndim=ndim)(x)
+                x = Upsample(dim_in, ndim=ndim, dtype=dty)(x)
             else:
-                x = nn.Conv(dim_in, kernel_size=(3, 3), padding="SAME")(x)
+                x = nn.Conv(dim_in, kernel_size=(3, 3), padding="SAME", dtype=dty)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, groups=groups, ndim=ndim)(x, time_emb)
-        out = nn.Conv(self.channels, kernel_size=(1, 1), name="final_conv")(x)
+        x = ResnetBlock(self.dim, groups=groups, ndim=ndim, dtype=dty)(x, time_emb)
+        out = nn.Conv(self.channels, kernel_size=(1, 1), name="final_conv", dtype=dty)(x)
         return out.astype(jnp.float32)

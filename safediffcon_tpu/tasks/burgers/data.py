@@ -46,13 +46,26 @@ def _varying_f(
     t: int,
     amp_compensate: float = 2.0,
     tmax: float = 1.0,
+    partial_control: str = None,
+    alpha: float = 1.0,
 ) -> np.ndarray:
     """Sum of 8 separable space-time Gaussian force terms
-    (reference: make_data_varying_f, 1D/data/generate_burgers.py:391-413)."""
+    (reference: make_data_varying_f, 1D/data/generate_burgers.py:338-418),
+    including the partial-control spatial mask ('front_rear_quarter',
+    :376-389) and the alpha distribution-shift scaling (:416-417)."""
     dx = 1.0 / (s + 1)
     x = np.linspace(dx, 1.0 - dx, s)
     dt = tmax / (t + 1)
     ts = np.linspace(dt, tmax - dt, t)
+
+    if partial_control is None:
+        f_space_mask = np.ones((1, 1, s))
+    elif partial_control == "front_rear_quarter":
+        f_space_mask = np.zeros((1, 1, s))
+        f_space_mask[:, :, np.r_[0 : s // 4, 3 * s // 4 : s]] = 1.0
+        amp_compensate = amp_compensate * 2
+    else:
+        raise ValueError(f"invalid partial control mode {partial_control!r}")
 
     def rand_f(is_rand_amp: bool) -> np.ndarray:
         if is_rand_amp:
@@ -70,6 +83,9 @@ def _varying_f(
     f = rand_f(False)
     for _ in range(7):
         f = f + rand_f(True)
+    f = f * f_space_mask
+    if alpha != 1.0:
+        f = np.clip(f * alpha, -10.0, 10.0)  # ddpm normalizer is 10
     return f
 
 
@@ -82,6 +98,8 @@ def generate_burgers_dataset(
     nx: int = NX,
     nt: int = NT,
     solve_batch: int = 4096,
+    partial_control: str = None,
+    alpha: float = 1.0,
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Generate train/cal/test splits and save to one .npz file.
 
@@ -90,7 +108,8 @@ def generate_burgers_dataset(
     rng = np.random.default_rng(seed)
     total = n_train + n_cal + n_test
     u0 = _two_gaussian_u0(rng, total, nx).astype(np.float32)
-    f = _varying_f(rng, total, nx, nt - 1).astype(np.float32)
+    f = _varying_f(rng, total, nx, nt - 1, partial_control=partial_control,
+                   alpha=alpha).astype(np.float32)
 
     us = []
     for lo in range(0, total, solve_batch):
