@@ -71,6 +71,24 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-train", type=int, default=None, help="generate-data: train size")
     p.add_argument("--n-cal", type=int, default=None, help="generate-data: cal size")
     p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
+    p.add_argument("--resume", action="store_true",
+                   help="pretrain: resume from the latest checkpoint in --out")
+
+
+
+
+def _maybe_resume(args, ckpt_dir):
+    """Resume support (reference: 2d Trainer resume/resume_step flags,
+    2d/ddpm/diffusion_2d.py:483-484): load the latest milestone's params."""
+    if not getattr(args, "resume", False):
+        return None
+    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return None
+    print(f"resuming from {ckpt_dir} step {step}")
+    return load_checkpoint(ckpt_dir, step)["params"]
 
 
 def run_burgers(args) -> int:
@@ -95,7 +113,8 @@ def run_burgers(args) -> int:
         cfg = BurgersPretrainConfig(dim=dim, seed=args.seed)
         train = BurgersDataset.load(data_path, "train")
         P.pretrain(cfg, train, num_steps=args.steps,
-                   checkpoint_dir=os.path.join(args.out, "burgers-pretrain"))
+                   checkpoint_dir=os.path.join(args.out, "burgers-pretrain"),
+                   params=_maybe_resume(args, os.path.join(args.out, "burgers-pretrain")))
         return 0
 
     from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
@@ -153,7 +172,8 @@ def run_tokamak(args) -> int:
         cfg = TokamakPretrainConfig(dim=dim, seed=args.seed)
         train = TokamakDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
-                 checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"))
+                 checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"),
+                 params=_maybe_resume(args, os.path.join(args.out, "tokamak-pretrain")))
         return 0
 
     from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
@@ -206,7 +226,8 @@ def run_smoke(args) -> int:
         cfg = SmokePretrainConfig(dim=dim, seed=args.seed)
         train = SmokeDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
-                 checkpoint_dir=os.path.join(args.out, "smoke-pretrain"))
+                 checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
+                 params=_maybe_resume(args, os.path.join(args.out, "smoke-pretrain")))
         return 0
 
     from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint

@@ -255,6 +255,8 @@ def pretrain(
                      (step + 1) / (time.time() - t0))
         if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state, step + 1)
+    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0:
+        save_checkpoint(checkpoint_dir, state, num_steps)
     return state
 
 

@@ -253,6 +253,8 @@ def pretrain(
             log.info("smoke pretrain step %d loss %.5f", step + 1, float(loss))
         if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state, step + 1)
+    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0:
+        save_checkpoint(checkpoint_dir, state, num_steps)
     return state
 
 
