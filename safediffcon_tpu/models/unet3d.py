@@ -65,6 +65,7 @@ class TemporalAttention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
@@ -73,7 +74,7 @@ class TemporalAttention(nn.Module):
         t = x.transpose(0, 2, 3, 1, 4).reshape(b, hh * ww, f, c)
 
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False)(t)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # (..., n, H*D) -> (..., H, n, D)
@@ -90,7 +91,7 @@ class TemporalAttention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("...hij,...hjd->...hid", attn, v)
         out = out.swapaxes(-3, -2).reshape(b, hh * ww, f, hidden)
-        out = nn.Dense(c, use_bias=False)(out)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
         return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
 
 
@@ -100,13 +101,14 @@ class SpatialLinearAttention3D(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
         b, f, hh, ww, c = x.shape
         t = x.reshape(b * f, hh * ww, c)
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False)(t)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # (B', N, H*D) -> (B', H, D, N)
@@ -121,18 +123,20 @@ class SpatialLinearAttention3D(nn.Module):
         out = jnp.einsum("bhde,bhdn->bhen", context, q)
         bb, h, d, n = out.shape
         out = out.transpose(0, 3, 1, 2).reshape(bb, n, h * d)
-        out = nn.Dense(c)(out)
+        out = nn.Dense(c, dtype=self.dtype)(out)
         return out.reshape(b, f, hh, ww, c)
 
 
 class Block3D(nn.Module):
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
@@ -142,18 +146,19 @@ class Block3D(nn.Module):
 class ResnetBlock3D(nn.Module):
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, time_emb=None):
         scale_shift = None
         if time_emb is not None:
-            h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
+            h_t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
             h_t = h_t.reshape(h_t.shape[0], 1, 1, 1, h_t.shape[-1])
             scale_shift = jnp.split(h_t, 2, axis=-1)
-        h = Block3D(self.dim_out, groups=self.groups)(x, scale_shift)
-        h = Block3D(self.dim_out, groups=self.groups)(h)
+        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype)(x, scale_shift)
+        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype)(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1))(x)
+            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
         return h + x
 
 
@@ -178,6 +183,7 @@ class UNet3D(nn.Module):
     def __call__(self, x, t):
         # x: (B, F, H, W, C)
         dt = self.compute_dtype
+        dty = None if dt == jnp.float32 else dt
         x = x.astype(dt)
         f = x.shape[1]
 
@@ -188,11 +194,11 @@ class UNet3D(nn.Module):
         )  # (F, F, H)
         pos_bias = bias_table.transpose(2, 0, 1).astype(dt)  # (H, F, F)
 
-        time_emb = TimeMLP(self.dim, self.dim * 4)(t).astype(dt)
+        time_emb = TimeMLP(self.dim, self.dim * 4, dtype=dty)(t).astype(dt)
 
-        x = nn.Conv(self.dim, kernel_size=(7, 7, 7), padding="SAME", name="init_conv")(x)
+        x = nn.Conv(self.dim, kernel_size=(7, 7, 7), padding="SAME", name="init_conv", dtype=dty)(x)
         x = _PreNormResidual3D(
-            TemporalAttention(self.attn_heads, self.attn_dim_head)
+            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
         )(x, pos_bias=pos_bias)
         r = x
 
@@ -203,13 +209,13 @@ class UNet3D(nn.Module):
         h = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock3D(dim_out, groups=self.resnet_groups)(x, time_emb)
-            x = ResnetBlock3D(dim_out, groups=self.resnet_groups)(x, time_emb)
+            x = ResnetBlock3D(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = ResnetBlock3D(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
             x = _PreNormResidual3D(
-                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head)
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
             x = _PreNormResidual3D(
-                TemporalAttention(self.attn_heads, self.attn_dim_head)
+                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x, pos_bias=pos_bias)
             h.append(x)
             if not is_last:
@@ -219,10 +225,11 @@ class UNet3D(nn.Module):
                     kernel_size=(1, 4, 4),
                     strides=(1, 2, 2),
                     padding=((0, 0), (1, 1), (1, 1)),
+                    dtype=dty,
                 )(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups)(x, time_emb)
+        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
         # Mid spatial FULL attention per frame.
         b_, f_, hh_, ww_, c_ = x.shape
 
@@ -235,7 +242,7 @@ class UNet3D(nn.Module):
                 b, ff, hh, ww, c = z.shape
                 tkn = z.reshape(b * ff, hh * ww, c)
                 hidden = self.heads * self.dim_head
-                qkv = nn.Dense(hidden * 3, use_bias=False)(tkn)
+                qkv = nn.Dense(hidden * 3, use_bias=False, dtype=dty)(tkn)
                 q, k, v = jnp.split(qkv, 3, axis=-1)
 
                 def heads(zz):
@@ -250,25 +257,25 @@ class UNet3D(nn.Module):
                 out = jnp.einsum("bhij,bhjd->bhid", attn, v)
                 bb, hd, n, d = out.shape
                 out = out.transpose(0, 2, 1, 3).reshape(bb, n, hd * d)
-                out = nn.Dense(c, use_bias=False)(out)
+                out = nn.Dense(c, use_bias=False, dtype=dty)(out)
                 return out.reshape(b, ff, hh, ww, c)
 
         x = _PreNormResidual3D(_MidSpatial(self.attn_heads, self.attn_dim_head))(x)
         x = _PreNormResidual3D(
-            TemporalAttention(self.attn_heads, self.attn_dim_head)
+            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
         )(x, pos_bias=pos_bias)
-        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups)(x, time_emb)
+        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i >= num_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock3D(dim_in, groups=self.resnet_groups)(x, time_emb)
-            x = ResnetBlock3D(dim_in, groups=self.resnet_groups)(x, time_emb)
+            x = ResnetBlock3D(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = ResnetBlock3D(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
             x = _PreNormResidual3D(
-                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head)
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
             x = _PreNormResidual3D(
-                TemporalAttention(self.attn_heads, self.attn_dim_head)
+                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x, pos_bias=pos_bias)
             if not is_last:
                 # Spatial-only transposed-conv upsample, k(1,4,4) s(1,2,2).
@@ -277,9 +284,10 @@ class UNet3D(nn.Module):
                     kernel_size=(1, 4, 4),
                     strides=(1, 2, 2),
                     padding="SAME",
+                    dtype=dty,
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock3D(self.dim, groups=self.resnet_groups)(x)
-        out = nn.Conv(self.channels, kernel_size=(1, 1, 1), name="final_conv")(x)
+        x = ResnetBlock3D(self.dim, groups=self.resnet_groups, dtype=dty)(x)
+        out = nn.Conv(self.channels, kernel_size=(1, 1, 1), name="final_conv", dtype=dty)(x)
         return out.astype(jnp.float32)

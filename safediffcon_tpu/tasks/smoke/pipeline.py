@@ -52,8 +52,9 @@ from safediffcon_tpu.tasks.smoke.metrics import evaluate_samples, solver_rollout
 log = logging.getLogger(__name__)
 
 
-def build_model(dim=64, dim_mults=(1, 2, 4)):
-    return UNet3D(dim=dim, dim_mults=dim_mults, channels=7)
+def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None):
+    dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt)
 
 
 def init_params(model, rng, frames=32, size=64):
@@ -69,6 +70,7 @@ class SmokePipeline:
         conf_cfg: SmokeConformalConfig,
         dim: int = 64,
         dim_mults=(1, 2, 4),
+        compute_dtype: str = None,
         solver_accuracy: float = 1e-6,
         solver_max_iter: int = 500,
         solver_time_scale: int = 8,
@@ -84,7 +86,7 @@ class SmokePipeline:
             alpha=conf_cfg.alpha,
         )
         self.finetune_set = finetune_set
-        self.model = build_model(dim, dim_mults)
+        self.model = build_model(dim, dim_mults, compute_dtype)
         self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
         self.sched = make_schedule(conf_cfg.timesteps, conf_cfg.beta_schedule)
         self.diff_cfg = DiffusionConfig(
@@ -209,7 +211,7 @@ def pretrain(
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
 
     num_steps = num_steps or cfg.train_num_steps
-    model = build_model(cfg.dim, cfg.dim_mults)
+    model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,

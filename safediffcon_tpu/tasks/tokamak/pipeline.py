@@ -58,8 +58,10 @@ from safediffcon_tpu.tasks.tokamak.metrics import control_trajectories, evaluate
 log = logging.getLogger(__name__)
 
 
-def build_model(dim=128, dim_mults=(1, 2, 4, 8), groups=1):
-    return UNet1D(dim=dim, dim_mults=dim_mults, channels=12, resnet_block_groups=groups)
+def build_model(dim=128, dim_mults=(1, 2, 4, 8), groups=1, compute_dtype=None):
+    dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    return UNet1D(dim=dim, dim_mults=dim_mults, channels=12,
+                  resnet_block_groups=groups, compute_dtype=dt)
 
 
 def init_params(model, rng):
@@ -83,6 +85,7 @@ class TokamakPipeline:
         dim: int = 128,
         dim_mults=(1, 2, 4, 8),
         groups: int = 1,
+        compute_dtype: str = None,
     ):
         self.ccfg = conf_cfg
         self.task_cfg = TokamakTaskConfig(
@@ -92,7 +95,7 @@ class TokamakPipeline:
             guidance_scaler=conf_cfg.guidance_scaler,
             alpha=conf_cfg.alpha,
         )
-        self.model = build_model(dim, dim_mults, groups)
+        self.model = build_model(dim, dim_mults, groups, compute_dtype)
         self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
         self.sched = make_schedule(conf_cfg.timesteps, "cosine")
         self.diff_cfg = DiffusionConfig(
@@ -214,7 +217,8 @@ def pretrain(
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
 
     num_steps = num_steps or cfg.train_num_steps
-    model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups)
+    model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups,
+                        getattr(cfg, 'compute_dtype', None))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective)
