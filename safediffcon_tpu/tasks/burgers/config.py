@@ -52,6 +52,7 @@ class BurgersConformalConfig:
     ddim_sampling_steps: int = 200
     ddim_eta: float = 1.0
     timesteps: int = 1000
+    sampler: str = "ddim"  # "ddim" | "dpm" (DPM-Solver++ 2M, fewer steps)
     # guidance
     w_score: float = 500.0  # reproduce-ft preset (1D/configs/inference_config.py:118-123)
     J_scheduler: Optional[str] = None  # "constant"

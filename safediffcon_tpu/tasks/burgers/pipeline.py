@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
-from safediffcon_tpu.core.sampling import ddim_sample, sample
+from safediffcon_tpu.core.sampling import ddim_sample, dpm_solver_sample, sample
 from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
 from safediffcon_tpu.core.train import (
     TrainState,
@@ -105,6 +105,11 @@ class BurgersPipeline:
             ddim_eta=conf_cfg.ddim_eta,
         )
         self.j_scheduler = get_J_scheduler(conf_cfg.J_scheduler)
+        # fast-sampler option (beyond reference parity): DPM-Solver++(2M)
+        self._sampler = (
+            dpm_solver_sample if getattr(conf_cfg, "sampler", "ddim") == "dpm"
+            else ddim_sample
+        )
 
         tc = self.task_cfg
 
@@ -136,7 +141,7 @@ class BurgersPipeline:
                 g = jax.grad(lambda x: guidance_values(x, Q, tc).sum())
             else:
                 g = None
-            out = ddim_sample(
+            out = self._sampler(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond, guidance_grad=g,
                 j_scheduler=self.j_scheduler, final_step_grad=final_step_grad,
@@ -398,7 +403,7 @@ def inference_finetune(
                 u0=test_batch[:, 0, :, 0], uT=test_batch[:, COND_IDX, :, 0]
             )
             g = jax.grad(lambda x: guidance_values(x, Q, tc).sum())
-            out = ddim_sample(
+            out = pipeline._sampler(
                 apply_fn, params, sched, dcfg, rng, test_batch.shape,
                 cond=cond, guidance_grad=g, j_scheduler=j_sched,
                 final_step_grad=True,
