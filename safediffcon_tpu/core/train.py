@@ -151,3 +151,31 @@ def make_diffusion_train_step(
         return state.apply_gradients(grads), loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def accumulated_grads(loss_fn: Callable, k: int):
+    """Gradient accumulation over k micro-batches inside one jitted step
+    (reference: Trainer gradient_accumulate_every, 1D/model/trainer.py:28,163).
+
+    loss_fn(params, rng, batch) -> scalar. Returns total(params, rng,
+    batches) where batches has shape (k, B, ...); losses and grads are
+    averaged over the k chunks before the single optimizer update.
+    """
+
+    def total(params, rng, batches):
+        keys = jax.random.split(rng, k)
+
+        def body(carry, xs):
+            key, b = xs
+            l, g = jax.value_and_grad(loss_fn)(params, key, b)
+            loss_acc, grad_acc = carry
+            return (
+                loss_acc + l / k,
+                jax.tree.map(lambda a, gg: a + gg / k, grad_acc, g),
+            ), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zero), (keys, batches))
+        return loss, grads
+
+    return total

@@ -32,6 +32,7 @@ class BurgersPretrainConfig:
     max_grad_norm: float = 1.0
     checkpoint_every: int = 1000
     use_max_safety: bool = True
+    gradient_accumulate_every: int = 1
     compute_dtype: str = None  # "bfloat16" for TPU production
     seed: int = 42
 

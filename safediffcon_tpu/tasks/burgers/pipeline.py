@@ -34,6 +34,7 @@ from safediffcon_tpu.core.sampling import ddim_sample, dpm_solver_sample, sample
 from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
 from safediffcon_tpu.core.train import (
     TrainState,
+    accumulated_grads,
     make_optimizer,
     periodic_cosine_schedule,
     warmup_cosine_schedule,
@@ -232,16 +233,22 @@ def pretrain(
     tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
     state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
 
+    accum = max(getattr(cfg, "gradient_accumulate_every", 1), 1)
+
+    def _loss(params, rng, batch):
+        rng_t, rng_n = jax.random.split(rng)
+        b = batch.shape[0]
+        t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
+        noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
+        return p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond).mean()
+
+    _accum_grads = accumulated_grads(_loss, accum)
+
     @jax.jit
     def step_fn(state, rng, batch):
-        def loss_fn(params):
-            rng_t, rng_n = jax.random.split(rng)
-            b = batch.shape[0]
-            t = jax.random.randint(rng_t, (b,), 0, dcfg.timesteps)
-            noise = jax.random.normal(rng_n, batch.shape, dtype=batch.dtype)
-            return p_losses(apply_fn, params, sched, dcfg, batch, t, noise, cond).mean()
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        # batch: (accum * batch_size, ...) -> (accum, batch_size, ...)
+        batches = batch.reshape(accum, -1, *batch.shape[1:])
+        loss, grads = _accum_grads(state.params, rng, batches)
         return state.apply_gradients(grads), loss
 
     n = len(train_data)
@@ -250,11 +257,12 @@ def pretrain(
     t0 = time.time()
     losses = []
     for step in range(num_steps):
-        if pos + cfg.batch_size > n:
+        take = cfg.batch_size * accum
+        if pos + take > n:
             order = np.random.default_rng(cfg.seed + step).permutation(n)
             pos = 0
-        sel = order[pos : pos + cfg.batch_size]
-        pos += cfg.batch_size
+        sel = order[pos : pos + take]
+        pos += take
         batch = jnp.asarray(train_data.data[sel])
         rng, key = jax.random.split(rng)
         state, loss = step_fn(state, key, batch)

@@ -30,6 +30,7 @@ class TokamakPretrainConfig:
     ema_update_every: int = 10
     max_grad_norm: float = 1.0
     checkpoint_every: int = 1000
+    gradient_accumulate_every: int = 1
     compute_dtype: str = None  # "bfloat16" for TPU production
     seed: int = 42
 
