@@ -73,22 +73,36 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
     p.add_argument("--resume", action="store_true",
                    help="pretrain: resume from the latest checkpoint in --out")
+    p.add_argument("--from-phase", default="pretrain",
+                   choices=("pretrain", "posttrain", "infft"),
+                   help="eval: which phase's checkpoint to load")
 
 
 
 
-def _maybe_resume(args, ckpt_dir):
-    """Resume support (reference: 2d Trainer resume/resume_step flags,
-    2d/ddpm/diffusion_2d.py:483-484): load the latest milestone's params."""
-    if not getattr(args, "resume", False):
-        return None
+def _resume_dir(args, ckpt_dir):
+    """Full-state resume: pretrain() restores step/opt/EMA from the latest
+    milestone in this directory when --resume is set."""
+    return ckpt_dir if getattr(args, "resume", False) else None
+
+
+def _load_params(args, out_dir, task):
+    """Load model params (+ Q if present) for the requested phase."""
     from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
 
-    step = latest_step(ckpt_dir)
+    phase = getattr(args, "from_phase", "pretrain")
+    if args.phase in ("posttrain", "infft"):
+        phase = "pretrain"  # finetuning always starts from the pretrain ckpt
+    ckpt_dir = os.path.join(out_dir, f"{task}-{phase}")
+    step = args.checkpoint or latest_step(ckpt_dir)
     if step is None:
-        return None
-    print(f"resuming from {ckpt_dir} step {step}")
-    return load_checkpoint(ckpt_dir, step)["params"]
+        raise SystemExit(
+            f"no checkpoint found in {ckpt_dir} — run `{task} {phase}` first "
+            f"(or pass --checkpoint/--out)"
+        )
+    restored = load_checkpoint(ckpt_dir, step)
+    params = restored.get("ema_params", restored.get("params"))
+    return params, restored.get("Q")
 
 
 def run_burgers(args) -> int:
@@ -114,15 +128,10 @@ def run_burgers(args) -> int:
         train = BurgersDataset.load(data_path, "train")
         P.pretrain(cfg, train, num_steps=args.steps,
                    checkpoint_dir=os.path.join(args.out, "burgers-pretrain"),
-                   params=_maybe_resume(args, os.path.join(args.out, "burgers-pretrain")))
+                   resume_dir=_resume_dir(args, os.path.join(args.out, "burgers-pretrain")))
         return 0
 
-    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
-
-    ckpt_dir = os.path.join(args.out, "burgers-pretrain")
-    step = args.checkpoint or latest_step(ckpt_dir)
-    restored = load_checkpoint(ckpt_dir, step)
-    params = restored["ema_params"]
+    params, _ = _load_params(args, args.out, "burgers")
 
     pipe = P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
     cal = BurgersDataset.load(data_path, "cal")
@@ -133,10 +142,14 @@ def run_burgers(args) -> int:
         finetune = BurgersDataset.load(data_path, "train", subset=cfg.finetune_subset_size)
         state, Q, metrics = P.posttrain(cfg, pipe, params, finetune, cal, test,
                                         finetune_steps=args.steps)
+        from safediffcon_tpu.utils.checkpoint import save_finetuned
+        save_finetuned(os.path.join(args.out, "burgers-posttrain"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_posttrain_results.json", metrics))
     elif args.phase == "infft":
         cfg = BurgersInfFTConfig(seed=args.seed)
         state, Q, metrics = P.inference_finetune(cfg, pipe, params, cal, test)
+        from safediffcon_tpu.utils.checkpoint import save_finetuned
+        save_finetuned(os.path.join(args.out, "burgers-infft"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_infft_results.json", metrics))
     elif args.phase == "eval":
         rng = jax.random.PRNGKey(args.seed)
@@ -173,14 +186,10 @@ def run_tokamak(args) -> int:
         train = TokamakDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"),
-                 params=_maybe_resume(args, os.path.join(args.out, "tokamak-pretrain")))
+                 resume_dir=_resume_dir(args, os.path.join(args.out, "tokamak-pretrain")))
         return 0
 
-    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
-
-    ckpt_dir = os.path.join(args.out, "tokamak-pretrain")
-    step = args.checkpoint or latest_step(ckpt_dir)
-    params = load_checkpoint(ckpt_dir, step)["ema_params"]
+    params, _ = _load_params(args, args.out, "tokamak")
 
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
@@ -189,6 +198,8 @@ def run_tokamak(args) -> int:
         cal = TokamakDataset.load(data_path, "cal")
         test = TokamakDataset.load(data_path, "test")
         params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        from safediffcon_tpu.utils.checkpoint import save_finetuned
+        save_finetuned(os.path.join(args.out, f"tokamak-{args.phase}"), params, Q)
         print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
         pipe = TokamakPipeline(TokamakConformalConfig(), dim=dim)
@@ -227,14 +238,10 @@ def run_smoke(args) -> int:
         train = SmokeDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
-                 params=_maybe_resume(args, os.path.join(args.out, "smoke-pretrain")))
+                 resume_dir=_resume_dir(args, os.path.join(args.out, "smoke-pretrain")))
         return 0
 
-    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
-
-    ckpt_dir = os.path.join(args.out, "smoke-pretrain")
-    step = args.checkpoint or latest_step(ckpt_dir)
-    params = load_checkpoint(ckpt_dir, step)["ema_params"]
+    params, _ = _load_params(args, args.out, "smoke")
 
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
@@ -246,6 +253,8 @@ def run_smoke(args) -> int:
         cal = SmokeDataset.load(data_path, "cal")
         test = SmokeDataset.load(data_path, "test")
         params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        from safediffcon_tpu.utils.checkpoint import save_finetuned
+        save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
         pipe = SmokePipeline(SmokeConformalConfig(), dim=dim)

@@ -178,6 +178,7 @@ class UNet3D(nn.Module):
     attn_dim_head: int = 32
     resnet_groups: int = 8
     compute_dtype: jnp.dtype = jnp.float32
+    use_remat: bool = True  # rematerialize blocks: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x, t):
@@ -186,6 +187,20 @@ class UNet3D(nn.Module):
         dty = None if dt == jnp.float32 else dt
         x = x.astype(dt)
         f = x.shape[1]
+
+        # Rematerialized block classes: activations of each residual block
+        # are recomputed in the backward pass instead of stored, which is
+        # what lets reference-scale training (batch 16, 32 frames, 64^2)
+        # fit in one chip's HBM.
+        if self.use_remat:
+            RB3 = nn.remat(ResnetBlock3D)
+            PNR = nn.remat(_PreNormResidual3D)
+            # keep scope names identical to the un-rematted model so
+            # checkpoints are interchangeable across the flag
+            RB3.__name__ = "ResnetBlock3D"
+            PNR.__name__ = "_PreNormResidual3D"
+        else:
+            RB3, PNR = ResnetBlock3D, _PreNormResidual3D
 
         # Relative position bias over frames (static buckets, learned embed).
         buckets = _rel_pos_buckets(f, num_buckets=32, max_distance=32)
@@ -197,7 +212,7 @@ class UNet3D(nn.Module):
         time_emb = TimeMLP(self.dim, self.dim * 4, dtype=dty)(t).astype(dt)
 
         x = nn.Conv(self.dim, kernel_size=(7, 7, 7), padding="SAME", name="init_conv", dtype=dty)(x)
-        x = _PreNormResidual3D(
+        x = PNR(
             TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
         )(x, pos_bias=pos_bias)
         r = x
@@ -209,12 +224,12 @@ class UNet3D(nn.Module):
         h = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock3D(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = ResnetBlock3D(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = _PreNormResidual3D(
+            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = PNR(
                 SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
-            x = _PreNormResidual3D(
+            x = PNR(
                 TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x, pos_bias=pos_bias)
             h.append(x)
@@ -229,7 +244,7 @@ class UNet3D(nn.Module):
                 )(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
         # Mid spatial FULL attention per frame.
         b_, f_, hh_, ww_, c_ = x.shape
 
@@ -260,21 +275,21 @@ class UNet3D(nn.Module):
                 out = nn.Dense(c, use_bias=False, dtype=dty)(out)
                 return out.reshape(b, ff, hh, ww, c)
 
-        x = _PreNormResidual3D(_MidSpatial(self.attn_heads, self.attn_dim_head))(x)
-        x = _PreNormResidual3D(
+        x = PNR(_MidSpatial(self.attn_heads, self.attn_dim_head))(x)
+        x = PNR(
             TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
         )(x, pos_bias=pos_bias)
-        x = ResnetBlock3D(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i >= num_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock3D(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = ResnetBlock3D(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = _PreNormResidual3D(
+            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = PNR(
                 SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
-            x = _PreNormResidual3D(
+            x = PNR(
                 TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x, pos_bias=pos_bias)
             if not is_last:
@@ -288,6 +303,6 @@ class UNet3D(nn.Module):
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock3D(self.dim, groups=self.resnet_groups, dtype=dty)(x)
+        x = RB3(self.dim, groups=self.resnet_groups, dtype=dty)(x)
         out = nn.Conv(self.channels, kernel_size=(1, 1, 1), name="final_conv", dtype=dty)(x)
         return out.astype(jnp.float32)

@@ -111,6 +111,12 @@ class BurgersPipeline:
             dpm_solver_sample if getattr(conf_cfg, "sampler", "ddim") == "dpm"
             else ddim_sample
         )
+        # calibration must use the SAME sampler as test sampling, or Q-hat
+        # loses its coverage meaning for the deployed sampler
+        self._cal_sampler = (
+            dpm_solver_sample if getattr(conf_cfg, "sampler", "ddim") == "dpm"
+            else sample
+        )
 
         tc = self.task_cfg
 
@@ -123,7 +129,7 @@ class BurgersPipeline:
             cond = BurgersConditioner(
                 u0=state[:, 0, :, 0], uT=state[:, COND_IDX, :, 0], w=state[:, :, :, 1]
             )
-            out = sample(
+            out = self._cal_sampler(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond, guidance_grad=None,
             )
@@ -212,6 +218,7 @@ def pretrain(
     log_every: int = 500,
     checkpoint_dir: Optional[str] = None,
     params=None,
+    resume_dir: Optional[str] = None,
 ):
     """Pretrain loop (reference: 1D/model/trainer.py:150-210)."""
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
@@ -232,6 +239,30 @@ def pretrain(
     lr = periodic_cosine_schedule(cfg.lr, cfg.cosine_t_max)
     tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
     state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+    start_step = 0
+    if resume_dir is not None:
+        # Full-state resume: restores step/opt_state/EMA so the LR schedule,
+        # Adam moments and EMA history continue where they left off
+        # (reference: 2d Trainer resume, 2d/ddpm/diffusion_2d.py:483-484).
+        from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+        last = latest_step(resume_dir)
+        if last is not None:
+            target = {
+                "step": np.zeros((), np.int32),
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+            }
+            restored = load_checkpoint(resume_dir, last, target=target)
+            state = state.replace(
+                step=jnp.asarray(restored["step"]),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                ema_params=restored["ema_params"],
+            )
+            start_step = int(restored["step"])
+            log.info("resumed from %s step %d", resume_dir, start_step)
 
     accum = max(getattr(cfg, "gradient_accumulate_every", 1), 1)
 
@@ -252,11 +283,12 @@ def pretrain(
         return state.apply_gradients(grads), loss
 
     n = len(train_data)
-    order = np.random.default_rng(cfg.seed).permutation(n)
+    order = np.random.default_rng(cfg.seed + start_step).permutation(n)
     pos = 0
     t0 = time.time()
-    losses = []
-    for step in range(num_steps):
+    from collections import deque
+    losses = deque(maxlen=log_every)  # bounded: only the last window is logged
+    for step in range(start_step, num_steps):
         take = cfg.batch_size * accum
         if pos + take > n:
             order = np.random.default_rng(cfg.seed + step).permutation(n)
@@ -268,12 +300,12 @@ def pretrain(
         state, loss = step_fn(state, key, batch)
         losses.append(loss)
         if (step + 1) % log_every == 0:
-            lv = float(jnp.stack(losses[-log_every:]).mean())
+            lv = float(jnp.stack(list(losses)).mean())
             log.info("step %d loss %.5f (%.1f steps/s)", step + 1, lv,
                      (step + 1) / (time.time() - t0))
         if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state, step + 1)
-    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0:
+    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0 and num_steps > start_step:
         save_checkpoint(checkpoint_dir, state, num_steps)
     return state
 
@@ -424,9 +456,10 @@ def inference_finetune(
     rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
     all_metrics = []
-    for epoch in range(cfg.InfFT_iters):
-        if epoch == cfg.InfFT_iters - 1:
-            break  # last epoch: evaluation only (reference: run():415-418)
+    # The reference runs InfFT_iters-1 finetuning epochs: its loop skips all
+    # work on the final index (reference: run():415-418), so the last recorded
+    # eval happens after the (InfFT_iters-1)-th calibration.
+    for epoch in range(cfg.InfFT_iters - 1):
         losses = []
         for lo in range(0, len(test_data), ccfg.test_batch_size):
             batch = jnp.asarray(test_data.data[lo : lo + ccfg.test_batch_size])

@@ -213,6 +213,7 @@ def pretrain(
     log_every: int = 500,
     checkpoint_dir: Optional[str] = None,
     params=None,
+    resume_dir: Optional[str] = None,
 ):
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
 
@@ -232,6 +233,30 @@ def pretrain(
     lr = periodic_cosine_schedule(cfg.lr, cfg.cosine_t_max)
     tx = make_optimizer("adam", lr, betas=cfg.adam_betas, max_grad_norm=cfg.max_grad_norm)
     state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+    start_step = 0
+    if resume_dir is not None:
+        # Full-state resume: restores step/opt_state/EMA so the LR schedule,
+        # Adam moments and EMA history continue where they left off
+        # (reference: 2d Trainer resume, 2d/ddpm/diffusion_2d.py:483-484).
+        from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+        last = latest_step(resume_dir)
+        if last is not None:
+            target = {
+                "step": np.zeros((), np.int32),
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+            }
+            restored = load_checkpoint(resume_dir, last, target=target)
+            state = state.replace(
+                step=jnp.asarray(restored["step"]),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                ema_params=restored["ema_params"],
+            )
+            start_step = int(restored["step"])
+            log.info("resumed from %s step %d", resume_dir, start_step)
 
     accum = max(getattr(cfg, "gradient_accumulate_every", 1), 1)
 
@@ -252,9 +277,9 @@ def pretrain(
         return state.apply_gradients(grads), loss
 
     n = len(train_data)
-    order = np.random.default_rng(cfg.seed).permutation(n)
+    order = np.random.default_rng(cfg.seed + start_step).permutation(n)
     pos = 0
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         take = cfg.batch_size * accum
         if pos + take > n:
             order = np.random.default_rng(cfg.seed + step).permutation(n)
@@ -267,7 +292,7 @@ def pretrain(
             log.info("tokamak pretrain step %d loss %.5f", step + 1, float(loss))
         if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state, step + 1)
-    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0:
+    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0 and num_steps > start_step:
         save_checkpoint(checkpoint_dir, state, num_steps)
     return state
 

@@ -57,3 +57,18 @@ def latest_step(directory: str) -> Optional[int]:
             except ValueError:
                 pass
     return max(steps) if steps else None
+
+
+def save_finetuned(directory: str, params, Q, step: int = 0) -> str:
+    """Save a fine-tuned model (params + conformal quantile), the
+    SafeDiffCon checkpoint convention (reference:
+    tokamak/inference/pipeline.py:455-456, 2d/inference_2d.py:381-382)."""
+    payload = {
+        "params": jax.device_get(params),
+        "Q": np.asarray(Q),
+        "step": np.asarray(step),
+    }
+    path = _ckpt_path(directory, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
