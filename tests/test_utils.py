@@ -45,3 +45,14 @@ def test_metrics_logger(tmp_path):
     ml.close()
     lines = [json.loads(l) for l in open(p)]
     assert lines[0]["loss"] == 0.5 and lines[1]["lr"] == 1e-4
+
+
+def test_save_finetuned_roundtrip(tmp_path):
+    from safediffcon_tpu.utils.checkpoint import load_checkpoint, save_finetuned
+
+    params = {"w": jnp.arange(4.0)}
+    d = str(tmp_path / "ft")
+    save_finetuned(d, params, Q=jnp.asarray(1.25), step=3)
+    restored = load_checkpoint(d, 3)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0))
+    assert abs(float(restored["Q"]) - 1.25) < 1e-6
