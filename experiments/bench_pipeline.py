@@ -23,7 +23,7 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     # warm up / compile
-    m = pipe.evaluate(params, test, jnp.zeros(()), rng)
+    m = pipe.evaluate(params, test, jnp.zeros(()), rng)  # evaluate() floats -> blocks
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
@@ -31,9 +31,9 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     episodes_per_min = 50 / dt * 60.0
 
-    Q = pipe.calibrate(params, cal.data, jnp.zeros(()), rng)  # compile
+    float(pipe.calibrate(params, cal.data, jnp.zeros(()), rng))  # compile+block
     t0 = time.perf_counter()
-    Q = pipe.calibrate(params, cal.data, jnp.zeros(()), jax.random.PRNGKey(9))
+    Q = float(pipe.calibrate(params, cal.data, jnp.zeros(()), jax.random.PRNGKey(9)))
     cal_s = time.perf_counter() - t0
 
     print(json.dumps({

@@ -76,8 +76,10 @@ class SmokePipeline:
         solver_time_scale: int = 8,
         solver_space_scale: int = 2,
         finetune_set: str = "train",
+        cal_chunk: int = 50,
     ):
         self.ccfg = conf_cfg
+        self.cal_chunk = cal_chunk  # chip-efficient calibration sub-batching
         self.task_cfg = SmokeTaskConfig(
             safe_bound=conf_cfg.safe_bound,
             w_safe=conf_cfg.w_safe,
@@ -161,13 +163,15 @@ class SmokePipeline:
 
     def calibrate(self, params, cal: SmokeDataset, Q, rng) -> jnp.ndarray:
         bs = self.ccfg.cal_batch_size
+        chunk = min(self.cal_chunk or bs, bs)
         scores, weights = [], []
         for i in range(self.ccfg.num_cal_batch):
-            sl = slice(i * bs, (i + 1) * bs)
-            rng, key = jax.random.split(rng)
-            s, w = self._cal_batch(params, key, jnp.asarray(cal.data[sl]), Q)
-            scores.append(s)
-            weights.append(w)
+            for lo in range(0, bs, chunk):
+                sl = slice(i * bs + lo, i * bs + lo + chunk)
+                rng, key = jax.random.split(rng)
+                s, w = self._cal_batch(params, key, jnp.asarray(cal.data[sl]), Q)
+                scores.append(s)
+                weights.append(w)
         scores = jnp.concatenate(scores)
         weights = normalize_weights(jnp.concatenate(weights))
         # inverted-alpha rank convention (reference: 2d/inference_2d.py:150-165)

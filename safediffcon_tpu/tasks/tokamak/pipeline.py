@@ -86,8 +86,10 @@ class TokamakPipeline:
         dim_mults=(1, 2, 4, 8),
         groups: int = 1,
         compute_dtype: str = None,
+        cal_chunk: int = 50,
     ):
         self.ccfg = conf_cfg
+        self.cal_chunk = cal_chunk  # chip-efficient calibration sub-batching
         self.task_cfg = TokamakTaskConfig(
             safety_threshold=conf_cfg.safety_threshold,
             w_obj=conf_cfg.w_obj,
@@ -171,15 +173,18 @@ class TokamakPipeline:
 
     def calibrate(self, params, cal: TokamakDataset, Q, rng) -> jnp.ndarray:
         bs = self.ccfg.cal_batch_size
+        chunk = min(self.cal_chunk or bs, bs)
         scores, weights = [], []
         for i in range(self.ccfg.num_cal_batch):
-            sl = slice(i * bs, (i + 1) * bs)
-            rng, key = jax.random.split(rng)
-            s, w = self._cal_batch(
-                params, key, jnp.asarray(cal.data[sl]), jnp.asarray(cal.state_phys[sl]), Q
-            )
-            scores.append(s)
-            weights.append(w)
+            for lo in range(0, bs, chunk):
+                sl = slice(i * bs + lo, i * bs + lo + chunk)
+                rng, key = jax.random.split(rng)
+                s, w = self._cal_batch(
+                    params, key, jnp.asarray(cal.data[sl]),
+                    jnp.asarray(cal.state_phys[sl]), Q
+                )
+                scores.append(s)
+                weights.append(w)
         scores = jnp.concatenate(scores)
         weights = normalize_weights(jnp.concatenate(weights))
         return weighted_quantile(weights * scores, self.ccfg.alpha)
