@@ -114,6 +114,7 @@ def ddim_sample(
     guidance_grad: Optional[Callable] = None,
     j_scheduler: Optional[Callable] = None,
     final_step_grad: bool = False,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Guided DDIM sampling as a single lax.scan.
 
@@ -132,7 +133,8 @@ def ddim_sample(
     scan_pairs = jnp.asarray(pairs[:-1], dtype=jnp.int32)  # all but final
     final_time = pairs[-1][0]
 
-    img = jax.random.normal(rng, shape, dtype=jnp.float32)
+    img = init_noise if init_noise is not None else jax.random.normal(
+        rng, shape, dtype=jnp.float32)
     img = cond.apply(img)
 
     scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
