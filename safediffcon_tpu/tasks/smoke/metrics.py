@@ -22,6 +22,7 @@ def solver_rollout(
     max_iter: int = 500,
     time_scale: int = 8,
     space_scale: int = 2,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """Roll the diffused controls through the solver and reassemble the
     7-channel record (reference: per_evaluate + solver_out assembly,
@@ -36,7 +37,7 @@ def solver_rollout(
     smoke, safe, rec = S.evaluate_control(
         masks, init_density, ctrl[..., 0], ctrl[..., 1],
         accuracy=accuracy, max_iter=max_iter, time_scale=time_scale,
-        space_scale=space_scale,
+        space_scale=space_scale, backend=backend,
     )
     n_rec = smoke.shape[1]
     out = jnp.zeros(pred_scaled.shape[:1] + (n_rec, size, size, 7), pred_scaled.dtype)

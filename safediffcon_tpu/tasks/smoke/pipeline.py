@@ -75,6 +75,7 @@ class SmokePipeline:
         solver_max_iter: int = 500,
         solver_time_scale: int = 8,
         solver_space_scale: int = 2,
+        solver_backend: str = "auto",  # "auto" -> pallas on TPU, xla on CPU
         finetune_set: str = "train",
         cal_chunk: int = 50,
     ):
@@ -98,9 +99,12 @@ class SmokePipeline:
             beta_schedule=conf_cfg.beta_schedule,
         )
         self.masks = S.build_masks()
+        if solver_backend == "auto":
+            solver_backend = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.solver_kw = dict(
             accuracy=solver_accuracy, max_iter=solver_max_iter,
             time_scale=solver_time_scale, space_scale=solver_space_scale,
+            backend=solver_backend,
         )
         tc = self.task_cfg
 
