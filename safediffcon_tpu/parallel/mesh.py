@@ -59,3 +59,26 @@ def pad_to_multiple(batch: np.ndarray, multiple: int):
         return batch, n
     pad = np.repeat(batch[-1:], rem, axis=0)
     return np.concatenate([batch, pad], axis=0), n
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host JAX (ICI within a slice, DCN across hosts).
+
+    The reference's multi-node story was HF Accelerate's launcher; the JAX
+    equivalent is jax.distributed.initialize before any backend use. On
+    single-host setups this is a no-op. Arguments default to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    """
+    import jax
+
+    if num_processes is not None and int(num_processes) <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # already initialized or single-process environment
+        pass
