@@ -189,6 +189,37 @@ class BurgersDataset:
             f_phys=f.astype(np.float32),
         )
 
+    @classmethod
+    def load_h5(
+        cls,
+        path: str,
+        split: str,
+        nt: int = NT,
+        nx: int = NX,
+        use_max_safety: bool = True,
+        subset: Optional[int] = None,
+    ) -> "BurgersDataset":
+        """Read the reference's on-disk HDF5 layout.
+
+        The reference stores each split in `burgers_{split}.h5` under a
+        group named after the split, with datasets `pde_{nt}-{nx}` (state
+        trajectories, (N, nt, nx)) and `pde_{nt}-{nx}_f` (forces,
+        (N, nt-1, nx)), written as float64 (reference:
+        1D/data/load_hdf5.py:6-57, generate_burgers.py:535-559).
+        """
+        import h5py
+
+        with h5py.File(path, "r") as h5:
+            grp = h5[split]
+            sel = slice(None) if subset is None else slice(subset)
+            u = np.asarray(grp[f"pde_{nt}-{nx}"][sel], dtype=np.float32)
+            f = np.asarray(grp[f"pde_{nt}-{nx}_f"][sel], dtype=np.float32)
+        return cls(
+            data=stack_and_pad(u, f, use_max_safety=use_max_safety),
+            u_phys=u,
+            f_phys=f,
+        )
+
     def __len__(self) -> int:
         return self.data.shape[0]
 

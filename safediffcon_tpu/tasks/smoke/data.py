@@ -153,6 +153,31 @@ def generate_smoke_dataset(
     np.savez_compressed(path, **{f"{k}_data": v for k, v in splits.items()})
 
 
+def _read_reference_sim(base: str, sim_id: int, frames: int = FRAMES) -> np.ndarray:
+    """One reference sim dir -> (frames, 64, 64, 7) physical-unit record.
+
+    Field npys are (H, W, C, T+1); scalar absorption fractions are bucket 1
+    of Smoke.npy and region 0 of Smoke_safe.npy, each normalized by the
+    row sum and tiled over space (reference: 2d/ddpm/data_2d.py:48-62).
+    """
+    sim = os.path.join(base, f"sim_{sim_id:06d}")
+    d = np.load(os.path.join(sim, "Density.npy")).astype(np.float32)
+    v = np.load(os.path.join(sim, "Velocity.npy")).astype(np.float32)
+    c = np.load(os.path.join(sim, "Control.npy")).astype(np.float32)
+    s_ori = np.load(os.path.join(sim, "Smoke.npy")).astype(np.float32)
+    s_safe = np.load(os.path.join(sim, "Smoke_safe.npy")).astype(np.float32)
+
+    # (H, W, 5, T+1) -> (frames, H, W, 5), channel order d,vx,vy,cx,cy
+    fields = np.concatenate([d, v, c], axis=2).transpose(3, 0, 1, 2)[:frames]
+    s = (s_ori[:, 1] / s_ori.sum(-1))[:frames]
+    sf = (s_safe[:, 0] / s_safe.sum(-1))[:frames]
+    h, w = fields.shape[1:3]
+    tiled = np.broadcast_to(
+        np.stack([s, sf], axis=-1)[:, None, None, :], (frames, h, w, 2)
+    )
+    return np.concatenate([fields, tiled], axis=-1)
+
+
 @dataclasses.dataclass
 class SmokeDataset:
     """In-memory split: data (N, F, 64, 64, 7).
@@ -170,6 +195,45 @@ class SmokeDataset:
             raw = z[f"{split}_data"]
         if subset is not None:
             raw = raw[:subset]
+        return cls(data=(raw / RESCALER).astype(np.float32), raw=raw)
+
+    @classmethod
+    def load_sim_dirs(
+        cls,
+        root: str,
+        split: str,
+        n_cal: int = 200,
+        subset: Optional[int] = None,
+        frames: int = FRAMES,
+    ) -> "SmokeDataset":
+        """Read the reference's per-simulation npy-dir layout.
+
+        Layout (reference: 2d/ddpm/data_2d.py:43-113): `{root}/{train,test}/
+        sim_%06d/{Density,Velocity,Control}.npy` as (64, 64, C, 33) field
+        stacks plus `Smoke.npy` (33, n_buckets) / `Smoke_safe.npy`
+        (33, n_regions) absorption tallies. The reference's splits are the
+        first 19800 train-dir sims (train), the last 200 train-dir sims
+        (cal, ids 19800-19999), and the test dir (ids 20000+); here the
+        train/cal boundary is `n_cal` sims from the end of whatever the
+        train dir holds, which reproduces the reference exactly at full
+        scale and still works on smaller mirrors.
+        """
+        dirname = "test" if split == "test" else "train"
+        base = os.path.join(root, dirname)
+        ids = sorted(
+            int(name[4:]) for name in os.listdir(base)
+            if name.startswith("sim_")
+            and os.path.isdir(os.path.join(base, name))
+        )
+        if split == "train":
+            ids = ids[:-n_cal] if len(ids) > n_cal else ids
+        elif split == "cal":
+            ids = ids[-n_cal:]
+        if subset is not None:
+            ids = ids[:subset]
+        raw = np.stack(
+            [_read_reference_sim(base, sim_id, frames) for sim_id in ids]
+        )
         return cls(data=(raw / RESCALER).astype(np.float32), raw=raw)
 
     def __len__(self) -> int:

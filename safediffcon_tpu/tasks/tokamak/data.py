@@ -110,5 +110,42 @@ class TokamakDataset:
             state_phys=states.astype(np.float32),
         )
 
+    @classmethod
+    def load_hf(
+        cls,
+        path: str,
+        split: str,
+        n_train: int = 48950,
+        n_cal: int = 1000,
+        n_test: int = 50,
+        subset: Optional[int] = None,
+    ) -> "TokamakDataset":
+        """Read the reference's HuggingFace-datasets on-disk layout.
+
+        Rows carry `outputs` (122, 8) solver outputs and `actions` (121, 9);
+        states are output columns [1, 4, 6] = (βp, q95, li). Splits are
+        contiguous index ranges: train [0, 48950), cal [48950, 49950),
+        test [49950, 50000) (reference: tokamak/data/tokamak_dataset.py:5-56).
+        Range sizes are parameterized so smaller mirrors also load.
+        """
+        from datasets import load_from_disk
+
+        ds = load_from_disk(path).with_format("numpy")
+        bounds = {
+            "train": (0, n_train),
+            "cal": (n_train, n_train + n_cal),
+            "test": (n_train + n_cal, n_train + n_cal + n_test),
+        }
+        if split not in bounds:
+            raise ValueError(f"split must be one of {sorted(bounds)}, got {split!r}")
+        lo, hi = bounds[split]
+        if subset is not None:
+            hi = min(hi, lo + subset)
+        rows = ds.select(range(lo, hi))
+        outputs = np.stack([np.asarray(o) for o in rows["outputs"]])
+        actions = np.stack([np.asarray(a) for a in rows["actions"]]).astype(np.float32)
+        states = outputs[:, :, [1, 4, 6]].astype(np.float32)
+        return cls(data=stack_and_pad(states, actions), state_phys=states)
+
     def __len__(self) -> int:
         return self.data.shape[0]
