@@ -91,6 +91,45 @@ def model_predictions(
     return ModelPrediction(pred_noise, x_start)
 
 
+def compose_two_model_apply(
+    apply_uw: Callable,
+    apply_w: Callable,
+    *,
+    prior_beta: float = 1.0,
+    normalize_beta: bool = False,
+    w_scheduler: Optional[Callable] = None,
+    mask_w_input: Optional[Callable] = None,
+    mask_w_output: Optional[Callable] = None,
+) -> Callable:
+    """Two-model composed denoiser: p(u,w) corrected by a p(w)-only model.
+
+    Mirrors the reference `eval_two_models` branch
+    (1D/model/diffusion.py:226-238): the w-model sees the input with the
+    unseen u rows zeroed (`mask_w_input`), its output is restricted to the
+    w channel (`mask_w_output`), and the composition is either
+    `out - (1 - prior_beta) * eta * out_w` with eta from `w_scheduler(t)`,
+    or the normalized `(out - (1 - prior_beta) * out_w) / prior_beta`.
+
+    Returns an `apply_fn(params, x, t)` over params = (params_uw, params_w),
+    directly usable with every sampler in this module (the samplers are
+    agnostic to what `params` is, so no sampler changes are needed).
+    """
+    w_scheduler = w_scheduler or (lambda t: 1.0)
+    mask_w_input = mask_w_input or (lambda x: x)
+    mask_w_output = mask_w_output or (lambda out: out)
+
+    def apply_fn(params, x, t):
+        params_uw, params_w = params
+        out = apply_uw(params_uw, x, t)
+        out_w = mask_w_output(apply_w(params_w, mask_w_input(x), t))
+        if normalize_beta:
+            return (out - (1.0 - prior_beta) * out_w) / prior_beta
+        eta = w_scheduler(t[0])
+        return out - (1.0 - prior_beta) * eta * out_w
+
+    return apply_fn
+
+
 def _ddim_times(cfg: DiffusionConfig):
     """Reversed DDIM time pairs [(T-1, ...), ..., (t1, -1)] as numpy ints.
 

@@ -167,14 +167,35 @@ def sigmoid_flip_J_schedule(t, timesteps: int = 1000):
     return table[timesteps - 1 - t]
 
 
+def plain_cosine_J_schedule(t, s: float = 0.0, timesteps: int = 1000):
+    """Flipped plain cosine: decreasing in x, indexed flipped so t=0 gets the
+    smallest step (reference: 1D/model/model_utils.py:173-180
+    plain_cosine_schedule)."""
+    x = np.linspace(0, timesteps, timesteps + 1, dtype=np.float64)
+    table = jnp.asarray(
+        np.cos((x + s) / (timesteps + s))[::-1].copy(), dtype=jnp.float32
+    )
+    return table[t]
+
+
 def get_J_scheduler(name):
-    """Map scheduler names to callables t -> stepsize (1 if None/'constant')."""
+    """Map scheduler names to callables t -> stepsize (1 if None/'constant')
+    (reference: 1D/model/model_utils.py:160-180 get_scheduler; the same
+    registry serves both the J and w scheduler kwargs)."""
     if name is None or name == "constant":
         return lambda t: 1.0
     if name == "cosine":
         return cosine_beta_J_schedule
+    if name == "plain_cosine":
+        return plain_cosine_J_schedule
     if name == "sigmoid":
         return sigmoid_J_schedule
     if name == "sigmoid_flip":
         return sigmoid_flip_J_schedule
     raise ValueError(f"unknown J scheduler {name!r}")
+
+
+# The reference threads a separate `w_scheduler` name through its sample
+# kwargs but resolves it with the same registry (1D/utils/common.py usage of
+# get_scheduler); keep that equivalence explicit.
+get_w_scheduler = get_J_scheduler

@@ -57,6 +57,10 @@ class BurgersConformalConfig:
     # guidance
     w_score: float = 500.0  # reproduce-ft preset (1D/configs/inference_config.py:118-123)
     J_scheduler: Optional[str] = None  # "constant"
+    # composite calibration weight: multiply a second exp(-guidance(x, InfFT_Q))
+    # factor when set (reference: 1D/inference/conformal.py:67-73,
+    # 1D/configs/inference_config.py:46)
+    InfFT_Q: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

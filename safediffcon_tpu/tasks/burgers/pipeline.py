@@ -140,6 +140,10 @@ class BurgersPipeline:
             )
             scores = conformal_score(out, state, tc.use_max_safety)
             weights = shift_weights(state, Q, tc)
+            if conf_cfg.InfFT_Q is not None:
+                # composite InfFT weight: second factor at the fixed InfFT_Q
+                # (reference: 1D/inference/conformal.py:67-73)
+                weights = weights * shift_weights(state, conf_cfg.InfFT_Q, tc)
             return scores, weights
 
         self._cal_batch = _cal_batch

@@ -100,7 +100,9 @@ class SmokePipeline:
         )
         self.masks = S.build_masks()
         if solver_backend == "auto":
-            solver_backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+            # the Pallas CG kernel targets TPU VMEM specifically; any other
+            # backend (cpu, gpu) takes the pure-XLA path
+            solver_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.solver_kw = dict(
             accuracy=solver_accuracy, max_iter=solver_max_iter,
             time_scale=solver_time_scale, space_scale=solver_space_scale,

@@ -56,6 +56,19 @@ class TokamakConformalConfig:
     guidance_scaler: float = 1.0
     use_guidance: bool = False  # guidance during test sampling
     J_scheduler: Optional[str] = None
+    # composite calibration-weight factors
+    # (reference: tokamak/inference/conformal.py:84-100). finetune_set is
+    # which split the finetune loop consumes ('train' = post-training,
+    # 'test' = backward finetune); wo_post_train is False when the model was
+    # loaded from a posttrain checkpoint, whose embedded quantile / guidance
+    # hyperparameters become the finetune_* factors
+    # (reference: tokamak/utils/common.py:146-154).
+    finetune_set: str = "train"
+    wo_post_train: bool = True
+    finetune_quantile: Optional[float] = None
+    finetune_w_obj: float = 0.0
+    finetune_w_safe: float = 1.0
+    finetune_guidance_scaler: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

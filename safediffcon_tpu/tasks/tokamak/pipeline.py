@@ -18,6 +18,7 @@ The optimizer is plain Adam(0.99, 0.999) with no EMA and no grad clip
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 from typing import Dict, Optional
@@ -125,6 +126,25 @@ class TokamakPipeline:
             )
             scores = conformal_score(out, state)
             weights = shift_weights(state, state_target, Q, tc)
+            # composite weight factors (reference:
+            # tokamak/inference/conformal.py:84-100): train mode with
+            # guidance squares the factor; test mode after post-training
+            # multiplies a factor at the posttrain checkpoint's quantile
+            # and guidance hyperparameters.
+            if conf_cfg.finetune_set == "train" and conf_cfg.use_guidance:
+                weights = weights * shift_weights(state, state_target, Q, tc)
+            if (conf_cfg.finetune_set == "test"
+                    and not conf_cfg.wo_post_train
+                    and conf_cfg.finetune_quantile is not None):
+                tc_ft = dataclasses.replace(
+                    tc,
+                    w_obj=conf_cfg.finetune_w_obj,
+                    w_safe=conf_cfg.finetune_w_safe,
+                    guidance_scaler=conf_cfg.finetune_guidance_scaler,
+                )
+                weights = weights * shift_weights(
+                    state, state_target, conf_cfg.finetune_quantile, tc_ft
+                )
             return scores, weights
 
         self._cal_batch = _cal_batch

@@ -73,8 +73,9 @@ def test_sharded_train_step_matches_single_device(setup):
     # sharded
     state_r = replicate(state, mesh)
     batch_s = shard_batch(batch, mesh)
+    rng_r = jax.device_put(rng, NamedSharding(mesh, P()))
     with mesh:
-        s8, l8 = jax.jit(step)(state_r, jax.device_put(rng, replicate(rng, mesh).sharding if hasattr(replicate(rng, mesh), 'sharding') else NamedSharding(mesh, P())), batch_s)
+        s8, l8 = jax.jit(step)(state_r, rng_r, batch_s)
 
     np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
     p1 = jax.tree_util.tree_leaves(s1.params)[0]

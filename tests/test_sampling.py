@@ -138,3 +138,45 @@ def test_dpm_solver_sampler():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_two_model_composition():
+    """compose_two_model_apply matches the reference eval_two_models math
+    (1D/model/diffusion.py:226-238) on toy linear denoisers."""
+    from safediffcon_tpu.core.sampling import compose_two_model_apply
+
+    apply_uw = lambda p, x, t: p * x
+    apply_w = lambda p, x, t: p + x
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 3)),
+                    dtype=jnp.float32)
+    t = jnp.full((2,), 7, dtype=jnp.int32)
+    params = (jnp.float32(2.0), jnp.float32(0.5))
+    mask_in = lambda v: v.at[:, 1:3].set(0.0)
+    mask_out = lambda v: v.at[..., 0].set(0.0)
+    w_sched = lambda time: 0.25 * time
+
+    fn = compose_two_model_apply(
+        apply_uw, apply_w, prior_beta=0.8, w_scheduler=w_sched,
+        mask_w_input=mask_in, mask_w_output=mask_out,
+    )
+    out = fn(params, x, t)
+    out_w = np.asarray(mask_out(0.5 + mask_in(x)))
+    expect = 2.0 * np.asarray(x) - (1 - 0.8) * (0.25 * 7) * out_w
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+    fn_norm = compose_two_model_apply(
+        apply_uw, apply_w, prior_beta=0.8, normalize_beta=True,
+        mask_w_input=mask_in, mask_w_output=mask_out,
+    )
+    out2 = fn_norm(params, x, t)
+    expect2 = (2.0 * np.asarray(x) - (1 - 0.8) * out_w) / 0.8
+    np.testing.assert_allclose(np.asarray(out2), expect2, rtol=1e-6)
+
+    # composed apply_fn runs through the standard sampler unchanged
+    sched = make_schedule(10, "cosine")
+    cfg = DiffusionConfig(timesteps=10, sampling_timesteps=4)
+    zero_pair = (lambda p, x, t: jnp.zeros_like(x), lambda p, x, t: jnp.zeros_like(x))
+    fn0 = compose_two_model_apply(*zero_pair, prior_beta=0.9)
+    out3 = ddim_sample(fn0, (None, None), sched, cfg, jax.random.PRNGKey(0),
+                       (2, 4, 4, 3))
+    assert np.isfinite(np.asarray(out3)).all()

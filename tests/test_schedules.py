@@ -69,3 +69,21 @@ def test_j_scheduler_constant_and_cosine():
     v0 = float(cos(0))
     v999 = float(cos(999))
     assert v999 > v0  # increasing schedule
+
+
+def test_plain_cosine_j_scheduler():
+    """Flipped plain cosine (reference: 1D/model/model_utils.py:173-180):
+    t=0 gets the smallest step, increasing in t."""
+    sched = get_J_scheduler("plain_cosine")
+    x = np.linspace(0, 1000, 1001)
+    table = np.cos(x / 1000)[::-1]
+    np.testing.assert_allclose(float(sched(0)), table[0], rtol=1e-6)
+    np.testing.assert_allclose(float(sched(500)), table[500], rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), table[1000], rtol=1e-6)
+    assert float(sched(999)) > float(sched(0))  # increasing in t
+
+
+def test_w_scheduler_alias():
+    from safediffcon_tpu.core.schedules import get_w_scheduler
+
+    assert get_w_scheduler is get_J_scheduler
