@@ -76,6 +76,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--from-phase", default="pretrain",
                    choices=("pretrain", "posttrain", "infft"),
                    help="eval: which phase's checkpoint to load")
+    p.add_argument("--checkpoints", default=None,
+                   help="eval: sweep milestones — 'LO:HI[:STEP]' (HI inclusive)"
+                        " or a comma list '10,20,170'; writes a results table")
 
 
 
@@ -86,7 +89,7 @@ def _resume_dir(args, ckpt_dir):
     return ckpt_dir if getattr(args, "resume", False) else None
 
 
-def _load_params(args, out_dir, task):
+def _load_params(args, out_dir, task, step=None):
     """Load model params (+ Q if present) for the requested phase."""
     from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
 
@@ -94,7 +97,7 @@ def _load_params(args, out_dir, task):
     if args.phase in ("posttrain", "infft"):
         phase = "pretrain"  # finetuning always starts from the pretrain ckpt
     ckpt_dir = os.path.join(out_dir, f"{task}-{phase}")
-    step = args.checkpoint or latest_step(ckpt_dir)
+    step = step or args.checkpoint or latest_step(ckpt_dir)
     if step is None:
         raise SystemExit(
             f"no checkpoint found in {ckpt_dir} — run `{task} {phase}` first "
@@ -103,6 +106,53 @@ def _load_params(args, out_dir, task):
     restored = load_checkpoint(ckpt_dir, step)
     params = restored.get("ema_params", restored.get("params"))
     return params, restored.get("Q")
+
+
+def _parse_checkpoints(spec: str):
+    """'LO:HI[:STEP]' (HI inclusive) or comma list -> milestone list."""
+    if ":" in spec:
+        parts = [int(x) for x in spec.split(":")]
+        lo, hi = parts[0], parts[1]
+        stride = parts[2] if len(parts) > 2 else 1
+        return list(range(lo, hi + 1, stride))
+    return [int(x) for x in spec.split(",")]
+
+
+def _eval_sweep(args, task: str, eval_one) -> None:
+    """Evaluate one checkpoint or a --checkpoints sweep with a results table
+    (reference: 1D/run_eval.py + 1D/eval.py:129-153).
+
+    eval_one(step_or_None) -> metrics dict. Per-checkpoint failures are
+    recorded and the sweep continues (reference: 1D/run_eval.py:27-32).
+    """
+    if not args.checkpoints:
+        metrics = eval_one(None)
+        print(_save_results(args.out, f"{task}_eval_results.json", metrics))
+        print(json.dumps(metrics, default=float))
+        return
+
+    table = {}
+    for step in _parse_checkpoints(args.checkpoints):
+        logging.info("evaluating %s checkpoint %d", task, step)
+        try:
+            table[step] = eval_one(step)
+        except Exception as e:  # keep sweeping past broken milestones
+            logging.warning("checkpoint %d failed: %s", step, e)
+            table[step] = {"error": str(e)}
+    path = _save_results(args.out, f"{task}_eval_sweep.json", table)
+
+    cols = sorted({
+        k for m in table.values()
+        for k, v in m.items() if isinstance(v, (int, float))
+    })
+    print("\t".join(["checkpoint"] + cols))
+    for step, m in table.items():
+        row = [str(step)] + [
+            f"{m[k]:.6g}" if isinstance(m.get(k), (int, float)) else "-"
+            for k in cols
+        ]
+        print("\t".join(row))
+    print(path)
 
 
 def run_burgers(args) -> int:
@@ -152,13 +202,17 @@ def run_burgers(args) -> int:
         save_finetuned(os.path.join(args.out, "burgers-infft"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_infft_results.json", metrics))
     elif args.phase == "eval":
-        rng = jax.random.PRNGKey(args.seed)
         import jax.numpy as jnp
-        Q = pipe.calibrate(params, cal.data, jnp.zeros(()), rng)
-        metrics = pipe.evaluate(params, test, Q, rng)
-        metrics["quantile"] = float(Q)
-        print(_save_results(args.out, "burgers_eval_results.json", metrics))
-        print(json.dumps(metrics, default=float))
+
+        def eval_one(step):
+            p = params if step is None else _load_params(args, args.out, "burgers", step=step)[0]
+            rng = jax.random.PRNGKey(args.seed)
+            Q = pipe.calibrate(p, cal.data, jnp.zeros(()), rng)
+            metrics = pipe.evaluate(p, test, Q, rng)
+            metrics["quantile"] = float(Q)
+            return metrics
+
+        _eval_sweep(args, "burgers", eval_one)
     else:
         raise SystemExit(f"unknown phase {args.phase}")
     return 0
@@ -205,12 +259,16 @@ def run_tokamak(args) -> int:
         pipe = TokamakPipeline(TokamakConformalConfig(), dim=dim)
         cal = TokamakDataset.load(data_path, "cal")
         test = TokamakDataset.load(data_path, "test")
-        rng = jax.random.PRNGKey(args.seed)
-        Q = pipe.calibrate(params, cal, jnp.zeros(()), rng)
-        metrics = pipe.evaluate(params, test, Q, rng)
-        metrics["quantile"] = float(Q)
-        print(_save_results(args.out, "tokamak_eval_results.json", metrics))
-        print(json.dumps(metrics, default=float))
+
+        def eval_one(step):
+            p = params if step is None else _load_params(args, args.out, "tokamak", step=step)[0]
+            rng = jax.random.PRNGKey(args.seed)
+            Q = pipe.calibrate(p, cal, jnp.zeros(()), rng)
+            metrics = pipe.evaluate(p, test, Q, rng)
+            metrics["quantile"] = float(Q)
+            return metrics
+
+        _eval_sweep(args, "tokamak", eval_one)
     else:
         raise SystemExit(f"unknown phase {args.phase}")
     return 0
@@ -260,12 +318,16 @@ def run_smoke(args) -> int:
         pipe = SmokePipeline(SmokeConformalConfig(), dim=dim)
         cal = SmokeDataset.load(data_path, "cal")
         test = SmokeDataset.load(data_path, "test")
-        rng = jax.random.PRNGKey(args.seed)
-        Q = pipe.calibrate(params, cal, jnp.zeros(()), rng)
-        metrics = pipe.evaluate(params, test, Q, rng)
-        metrics["quantile"] = float(Q)
-        print(_save_results(args.out, "smoke_eval_results.json", metrics))
-        print(json.dumps(metrics, default=float))
+
+        def eval_one(step):
+            p = params if step is None else _load_params(args, args.out, "smoke", step=step)[0]
+            rng = jax.random.PRNGKey(args.seed)
+            Q = pipe.calibrate(p, cal, jnp.zeros(()), rng)
+            metrics = pipe.evaluate(p, test, Q, rng)
+            metrics["quantile"] = float(Q)
+            return metrics
+
+        _eval_sweep(args, "smoke", eval_one)
     else:
         raise SystemExit(f"unknown phase {args.phase}")
     return 0

@@ -80,3 +80,38 @@ def test_cli_parses():
 
     with pytest.raises(SystemExit):
         climain.main(["bogus", "pretrain"])
+
+
+def test_checkpoint_sweep_eval(tmp_path, capsys):
+    """--checkpoints sweep driver: range parsing, per-checkpoint failure
+    tolerance, results table (reference: 1D/run_eval.py + 1D/eval.py:129-153)."""
+    import argparse
+    import json as _json
+    from safediffcon_tpu.cli.main import _eval_sweep, _parse_checkpoints
+
+    assert _parse_checkpoints("10:200:10") == list(range(10, 201, 10))
+    assert _parse_checkpoints("3:5") == [3, 4, 5]
+    assert _parse_checkpoints("10,20,170") == [10, 20, 170]
+
+    calls = []
+
+    def eval_one(step):
+        calls.append(step)
+        if step == 2:
+            raise RuntimeError("broken milestone")
+        return {"J": 0.1 * step, "quantile": 1.0}
+
+    args = argparse.Namespace(checkpoints="1:3", out=str(tmp_path))
+    _eval_sweep(args, "burgers", eval_one)
+    assert calls == [1, 2, 3]
+    with open(tmp_path / "burgers_eval_sweep.json") as f:
+        table = _json.load(f)
+    assert table["1"]["J"] == 0.1 and "error" in table["2"]
+    out = capsys.readouterr().out
+    assert "checkpoint" in out and "J" in out
+
+    # single-checkpoint path unchanged
+    args1 = argparse.Namespace(checkpoints=None, out=str(tmp_path))
+    _eval_sweep(args1, "burgers", lambda s: {"J": 0.5})
+    with open(tmp_path / "burgers_eval_results.json") as f:
+        assert _json.load(f)["J"] == 0.5

@@ -28,6 +28,8 @@ from safediffcon_tpu.tasks.tokamak.pipeline import (
     init_params as tokamak_init,
 )
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(dim=8, dim_mults=(1, 2), groups=1)
 
 

@@ -27,6 +27,8 @@ from safediffcon_tpu.tasks.burgers.pipeline import (
     pretrain,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):

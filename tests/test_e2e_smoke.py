@@ -29,6 +29,8 @@ from safediffcon_tpu.tasks.smoke.task import (
     shift_weights,
 )
 
+pytestmark = pytest.mark.slow
+
 N_FRAMES = 32  # tiny rollout: 32 sim frames -> 8 record frames (scale 4)
 TIME_SCALE = 4
 SPACE_SCALE = 4  # 32^2 records for fast CPU compiles

@@ -30,6 +30,8 @@ from safediffcon_tpu.tasks.tokamak.task import (
     shift_weights,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_data(tmp_path_factory):

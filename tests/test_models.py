@@ -3,6 +3,9 @@ import jax
 import jax.numpy as jnp
 
 from safediffcon_tpu.models import UNet1D, UNet2D, UNet3D
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_unet2d_forward_shape():

@@ -26,6 +26,8 @@ from safediffcon_tpu.core.train import TrainState, make_optimizer
 from safediffcon_tpu.models.unet2d import UNet2D
 from safediffcon_tpu.tasks.burgers.task import BurgersConditioner, train_conditioner
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():
