@@ -81,6 +81,7 @@ def generate_smoke_dataset(
     gen_batch: int = 16,
     accuracy: float = 1e-6,
     max_iter: int = 500,
+    backend: str = "auto",
 ) -> None:
     """Generate all splits with the vmapped JAX rollout and save one npz.
 
@@ -95,8 +96,11 @@ def generate_smoke_dataset(
     rng = np.random.default_rng(seed)
     total = n_train + n_cal + n_test
 
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     rollout = jax.jit(
-        lambda d, v, c: S.smoke_rollout(masks, d, v, c, accuracy, max_iter)
+        lambda d, v, c: S.smoke_rollout(masks, d, v, c, accuracy, max_iter,
+                                        backend=backend)
     )
 
     recs = []
