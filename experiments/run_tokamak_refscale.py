@@ -10,12 +10,14 @@ reference reproduce hyperparameters (BASELINE.md):
              (tokamak/scripts/finetune.sh)
 """
 import json
+import logging
 import os
 import time
 
 import jax
 import jax.numpy as jnp
 
+logging.basicConfig(level=logging.INFO)
 t0 = time.time()
 
 
@@ -50,7 +52,8 @@ tick(f"splits loaded: train={len(data['train'].data)} cal={len(data['cal'].data)
 pre = TokamakPretrainConfig(dim=128, batch_size=32, checkpoint_every=5000,
                             compute_dtype="bfloat16")
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=1000,
-                 checkpoint_dir=CKPT_DIR)
+                 checkpoint_dir=CKPT_DIR,
+                 steps_per_call=50)  # amortize tunnel dispatch latency
 tick(f"pretrain {PRETRAIN_STEPS} steps done")
 
 results = {}

@@ -179,3 +179,132 @@ def accumulated_grads(loss_fn: Callable, k: int):
         return loss, grads
 
     return total
+
+
+# ---------------------------------------------------------------------------
+# Chunked stepping + shared pretrain loop
+# ---------------------------------------------------------------------------
+
+def chunked_train_steps(step_fn: Callable, k: int, donate: bool = True):
+    """Fuse k optimizer steps into ONE jitted device call via lax.scan.
+
+    On a remote/tunneled TPU every dispatch + host->device batch transfer
+    costs O(10-100ms) of latency; for the small denoisers here that
+    overhead dwarfs device compute (the reference's host-driven loop has
+    the same per-step cost structure, 1D/model/trainer.py:150-210). One
+    call per k steps amortizes it k-fold. `step_fn(state, rng, batch) ->
+    (state, loss)` must be the un-jitted single step; batches is (k, B, ...).
+    Returns (state, mean loss over the k steps).
+    """
+
+    def multi(state, rng, batches):
+        keys = jax.random.split(rng, k)
+
+        def body(s, xs):
+            key, b = xs
+            s, loss = step_fn(s, key, b)
+            return s, loss
+
+        state, losses = jax.lax.scan(body, state, (keys, batches))
+        return state, losses.mean()
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def run_train_loop(
+    step_fn: Callable,
+    state: "TrainState",
+    data,
+    *,
+    batch_take: int,
+    num_steps: int,
+    rng,
+    start_step: int = 0,
+    seed: int = 0,
+    steps_per_call: int = 1,
+    log_every: int = 500,
+    checkpoint_every: int = 10**9,
+    checkpoint_dir: Optional[str] = None,
+    logger=None,
+    log_prefix: str = "pretrain",
+):
+    """Shared epoch-less training loop used by all three task pretrains.
+
+    Replaces the reference Trainer's `while step < num: data = next(cycle(dl))`
+    loop (1D/model/trainer.py:150-210). Batches are drawn as random
+    permutation slices of `data` (reshuffled when exhausted), shipped to
+    device `steps_per_call` steps at a time, and stepped inside one jitted
+    scan (`chunked_train_steps`). Checkpoints/logs land on the first chunk
+    boundary at/after each cadence point.
+    """
+    import time as _time
+
+    import numpy as np
+
+    if checkpoint_dir:
+        from safediffcon_tpu.utils.checkpoint import save_checkpoint
+
+    k = max(int(steps_per_call), 1)
+    multi = chunked_train_steps(step_fn, k) if k > 1 else jax.jit(
+        step_fn, donate_argnums=(0,))
+    tail_fn = None  # lazily-jitted single step for a final partial chunk
+
+    n = data.shape[0]
+    order = np.random.default_rng(seed + start_step).permutation(n)
+    pos = 0
+
+    def draw(count):
+        nonlocal order, pos
+        out = []
+        need = count
+        while need > 0:
+            if pos >= n:
+                order = np.random.default_rng(seed + step + need).permutation(n)
+                pos = 0
+            got = order[pos : pos + need]
+            pos += len(got)
+            need -= len(got)
+            out.append(got)
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    t0 = _time.time()
+    loss_acc, loss_n = 0.0, 0
+    last_log = start_step
+    last_ckpt = start_step
+    step = start_step
+    while step < num_steps:
+        kk = min(k, num_steps - step)
+        sel = draw(batch_take * kk)
+        batch = jnp.asarray(data[sel])
+        rng, key = jax.random.split(rng)
+        if kk == k:
+            if k > 1:
+                batch = batch.reshape(k, batch_take, *batch.shape[1:])
+            state, loss = multi(state, key, batch)
+        else:  # final partial chunk: single steps
+            if tail_fn is None:
+                tail_fn = jax.jit(step_fn, donate_argnums=(0,))
+            keys = jax.random.split(key, kk)
+            ls = []
+            for i in range(kk):
+                b = batch[i * batch_take : (i + 1) * batch_take]
+                state, l = tail_fn(state, keys[i], b)
+                ls.append(l)
+            loss = jnp.stack(ls).mean()
+        step += kk
+        loss_acc += float(loss) * kk
+        loss_n += kk
+        if logger and step - last_log >= log_every:
+            logger.info(
+                "%s step %d loss %.5f (%.1f steps/s)", log_prefix, step,
+                loss_acc / max(loss_n, 1),
+                (step - start_step) / (_time.time() - t0),
+            )
+            loss_acc, loss_n = 0.0, 0
+            last_log = step
+        if checkpoint_dir and step // checkpoint_every > last_ckpt // checkpoint_every:
+            save_checkpoint(checkpoint_dir, state, step)
+            last_ckpt = step
+    if checkpoint_dir and num_steps > start_step and last_ckpt != num_steps:
+        save_checkpoint(checkpoint_dir, state, num_steps)
+    return state

@@ -37,6 +37,7 @@ from safediffcon_tpu.core.train import (
     accumulated_grads,
     make_optimizer,
     periodic_cosine_schedule,
+    run_train_loop,
     warmup_cosine_schedule,
 )
 from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
@@ -231,6 +232,7 @@ def pretrain(
     checkpoint_dir: Optional[str] = None,
     params=None,
     resume_dir: Optional[str] = None,
+    steps_per_call: int = 1,
 ):
     """Pretrain loop (reference: 1D/model/trainer.py:150-210)."""
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
@@ -287,39 +289,19 @@ def pretrain(
 
     _accum_grads = accumulated_grads(_loss, accum)
 
-    @jax.jit
     def step_fn(state, rng, batch):
         # batch: (accum * batch_size, ...) -> (accum, batch_size, ...)
         batches = batch.reshape(accum, -1, *batch.shape[1:])
         loss, grads = _accum_grads(state.params, rng, batches)
         return state.apply_gradients(grads), loss
 
-    n = len(train_data)
-    order = np.random.default_rng(cfg.seed + start_step).permutation(n)
-    pos = 0
-    t0 = time.time()
-    from collections import deque
-    losses = deque(maxlen=log_every)  # bounded: only the last window is logged
-    for step in range(start_step, num_steps):
-        take = cfg.batch_size * accum
-        if pos + take > n:
-            order = np.random.default_rng(cfg.seed + step).permutation(n)
-            pos = 0
-        sel = order[pos : pos + take]
-        pos += take
-        batch = jnp.asarray(train_data.data[sel])
-        rng, key = jax.random.split(rng)
-        state, loss = step_fn(state, key, batch)
-        losses.append(loss)
-        if (step + 1) % log_every == 0:
-            lv = float(jnp.stack(list(losses)).mean())
-            log.info("step %d loss %.5f (%.1f steps/s)", step + 1, lv,
-                     (step + 1) / (time.time() - t0))
-        if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(checkpoint_dir, state, step + 1)
-    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0 and num_steps > start_step:
-        save_checkpoint(checkpoint_dir, state, num_steps)
-    return state
+    return run_train_loop(
+        step_fn, state, train_data.data,
+        batch_take=cfg.batch_size * accum, num_steps=num_steps, rng=rng,
+        start_step=start_step, seed=cfg.seed, steps_per_call=steps_per_call,
+        log_every=log_every, checkpoint_every=cfg.checkpoint_every,
+        checkpoint_dir=checkpoint_dir, logger=log, log_prefix="burgers pretrain",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,9 @@ import optax
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
 from safediffcon_tpu.core.sampling import ddim_sample
 from safediffcon_tpu.core.schedules import make_schedule
-from safediffcon_tpu.core.train import TrainState, accumulated_grads, make_optimizer
+from safediffcon_tpu.core.train import (
+    TrainState, accumulated_grads, make_optimizer, run_train_loop,
+)
 from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
 from safediffcon_tpu.models.unet3d import UNet3D
 from safediffcon_tpu.solvers import smoke as S
@@ -218,6 +220,7 @@ def pretrain(
     checkpoint_dir: Optional[str] = None,
     params=None,
     resume_dir: Optional[str] = None,
+    steps_per_call: int = 1,
 ):
     from safediffcon_tpu.utils.checkpoint import save_checkpoint
 
@@ -274,32 +277,19 @@ def pretrain(
 
     _accum_grads = accumulated_grads(_loss, accum)
 
-    @jax.jit
     def step_fn(state, rng, batch):
         # batch: (accum * batch_size, ...) -> (accum, batch_size, ...)
         batches = batch.reshape(accum, -1, *batch.shape[1:])
         loss, grads = _accum_grads(state.params, rng, batches)
         return state.apply_gradients(grads), loss
 
-    n = len(train_data)
-    order = np.random.default_rng(cfg.seed + start_step).permutation(n)
-    pos = 0
-    for step in range(start_step, num_steps):
-        take = cfg.batch_size * accum
-        if pos + take > n:
-            order = np.random.default_rng(cfg.seed + step).permutation(n)
-            pos = 0
-        sel = order[pos : pos + take]
-        pos += take
-        rng, key = jax.random.split(rng)
-        state, loss = step_fn(state, key, jnp.asarray(train_data.data[sel]))
-        if (step + 1) % log_every == 0:
-            log.info("smoke pretrain step %d loss %.5f", step + 1, float(loss))
-        if checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(checkpoint_dir, state, step + 1)
-    if checkpoint_dir and num_steps % cfg.checkpoint_every != 0 and num_steps > start_step:
-        save_checkpoint(checkpoint_dir, state, num_steps)
-    return state
+    return run_train_loop(
+        step_fn, state, train_data.data,
+        batch_take=cfg.batch_size * accum, num_steps=num_steps, rng=rng,
+        start_step=start_step, seed=cfg.seed, steps_per_call=steps_per_call,
+        log_every=log_every, checkpoint_every=cfg.checkpoint_every,
+        checkpoint_dir=checkpoint_dir, logger=log, log_prefix="smoke pretrain",
+    )
 
 
 # ---------------------------------------------------------------------------
