@@ -53,7 +53,8 @@ tick(f"splits loaded: train={len(data['train'].data)} cal={len(data['cal'].data)
 pre = SmokePretrainConfig(batch_size=14, checkpoint_every=1000,
                           compute_dtype="bfloat16")
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=200,
-                 checkpoint_dir=CKPT_DIR)
+                 checkpoint_dir=CKPT_DIR,
+                 steps_per_call=10)  # amortize tunnel dispatch latency
 tick(f"pretrain {PRETRAIN_STEPS} steps done")
 
 results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS}

@@ -73,6 +73,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
     p.add_argument("--resume", action="store_true",
                    help="pretrain: resume from the latest checkpoint in --out")
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="pretrain: optimizer steps fused per device call "
+                        "(lax.scan); default 25 on TPU, 1 elsewhere — "
+                        "amortizes dispatch latency on tunneled chips")
     p.add_argument("--from-phase", default="pretrain",
                    choices=("pretrain", "posttrain", "infft"),
                    help="eval: which phase's checkpoint to load")
@@ -87,6 +91,14 @@ def _resume_dir(args, ckpt_dir):
     """Full-state resume: pretrain() restores step/opt/EMA from the latest
     milestone in this directory when --resume is set."""
     return ckpt_dir if getattr(args, "resume", False) else None
+
+
+def _steps_per_call(args):
+    if getattr(args, "steps_per_call", None):
+        return args.steps_per_call
+    import jax
+
+    return 25 if jax.default_backend() == "tpu" else 1
 
 
 def _load_params(args, out_dir, task, step=None):
@@ -178,7 +190,8 @@ def run_burgers(args) -> int:
         train = BurgersDataset.load(data_path, "train")
         P.pretrain(cfg, train, num_steps=args.steps,
                    checkpoint_dir=os.path.join(args.out, "burgers-pretrain"),
-                   resume_dir=_resume_dir(args, os.path.join(args.out, "burgers-pretrain")))
+                   resume_dir=_resume_dir(args, os.path.join(args.out, "burgers-pretrain")),
+                   steps_per_call=_steps_per_call(args))
         return 0
 
     params, _ = _load_params(args, args.out, "burgers")
@@ -240,7 +253,8 @@ def run_tokamak(args) -> int:
         train = TokamakDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"),
-                 resume_dir=_resume_dir(args, os.path.join(args.out, "tokamak-pretrain")))
+                 resume_dir=_resume_dir(args, os.path.join(args.out, "tokamak-pretrain")),
+                   steps_per_call=_steps_per_call(args))
         return 0
 
     params, _ = _load_params(args, args.out, "tokamak")
@@ -296,7 +310,8 @@ def run_smoke(args) -> int:
         train = SmokeDataset.load(data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
-                 resume_dir=_resume_dir(args, os.path.join(args.out, "smoke-pretrain")))
+                 resume_dir=_resume_dir(args, os.path.join(args.out, "smoke-pretrain")),
+                   steps_per_call=_steps_per_call(args))
         return 0
 
     params, _ = _load_params(args, args.out, "smoke")
