@@ -78,6 +78,9 @@ class BurgersPostTrainConfig:
     ema_update_every: int = 10
     max_grad_norm: float = 1.0
     seed: int = 42
+    # optimizer steps fused per device call (lax.scan); amortizes dispatch
+    # latency on tunneled TPUs (see core/train.py::chunked_train_steps)
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,7 @@ from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
 from safediffcon_tpu.core.train import (
     TrainState,
     accumulated_grads,
+    chunked_train_steps,
     make_optimizer,
     periodic_cosine_schedule,
     run_train_loop,
@@ -341,8 +342,9 @@ def posttrain(
     )
     state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
 
-    @jax.jit
-    def finetune_step(state, rng, batch, w):
+    def finetune_step(state, rng, xw):
+        batch, w = xw
+
         def loss_fn(params):
             rng_t, rng_n = jax.random.split(rng)
             b = batch.shape[0]
@@ -354,32 +356,64 @@ def posttrain(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    single_step = jax.jit(finetune_step)
+    k = max(int(getattr(cfg, "steps_per_call", 1)), 1)
+    multi_step = chunked_train_steps(finetune_step, k, donate=False) if k > 1 else None
+
+    def _epoch_sels():
+        # sequential windows with the reference's reset-on-overflow walk
+        # (1D/posttrain/post_train.py batch cycling)
+        sels, pos = [], 0
+        for _ in range(steps_per_epoch):
+            if pos + cfg.finetune_batch_size > n:
+                pos = 0
+            sels.append(np.arange(pos, pos + cfg.finetune_batch_size) % n)
+            pos += cfg.finetune_batch_size
+        return np.asarray(sels)  # (steps, B)
+
     rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
     n = len(finetune_data)
     all_metrics = []
+    eval_period = (
+        cfg.finetune_subset_size // cfg.finetune_batch_size
+        if eval_every_subset_epoch else steps_per_epoch
+    )
     for epoch in range(cfg.finetune_epoch):
         w_train = np.asarray(pipeline.reweights(finetune_data.data, Q))
-        pos = 0
+        sels = _epoch_sels()
         epoch_losses = []
         eval_history = []
-        for it in range(steps_per_epoch):
-            if pos + cfg.finetune_batch_size > n:
-                pos = 0
-            sel = np.arange(pos, pos + cfg.finetune_batch_size) % n
-            pos += cfg.finetune_batch_size
+        it = 0
+        while it < steps_per_epoch:
+            seg = min(eval_period - it % eval_period, steps_per_epoch - it)
+            kk = min(k, seg)
+            sel = sels[it : it + kk].reshape(-1)
             batch = jnp.asarray(finetune_data.data[sel])
+            w = jnp.asarray(w_train[sel])
             rng, key = jax.random.split(rng)
-            state, loss = finetune_step(state, key, batch, jnp.asarray(w_train[sel]))
-            epoch_losses.append(float(loss))
-            if (
-                eval_every_subset_epoch
-                and ((it + 1) * cfg.finetune_batch_size) % cfg.finetune_subset_size == 0
-            ):
+            if kk > 1 and kk == k:
+                shape = (kk, cfg.finetune_batch_size)
+                state, loss = multi_step(
+                    state, key,
+                    (batch.reshape(shape + batch.shape[1:]), w.reshape(shape)),
+                )
+            else:
+                keys = jax.random.split(key, kk)
+                ls = []
+                for i in range(kk):
+                    lo = i * cfg.finetune_batch_size
+                    hi = lo + cfg.finetune_batch_size
+                    state, l = single_step(state, keys[i], (batch[lo:hi], w[lo:hi]))
+                    ls.append(l)
+                loss = jnp.stack(ls).mean()
+            it += kk
+            epoch_losses.extend([float(loss)] * kk)
+            if eval_every_subset_epoch and it % eval_period == 0:
                 rng, key = jax.random.split(rng)
                 m = pipeline.evaluate(state.ema_params, test_data, Q, key)
                 eval_history.append(m)
-                log.info("epoch %d it %d eval %s", epoch, it + 1, m)
+                log.info("epoch %d it %d eval %s", epoch, it, m)
         if epoch != cfg.finetune_epoch - 1:
             rng, key = jax.random.split(rng)
             Q = pipeline.calibrate(state.ema_params, cal_data.data, Q, key)

@@ -97,3 +97,39 @@ def test_end_to_end_tiny(tiny_dataset):
     )
     assert len(ft_metrics) == 1
     assert np.isfinite(ft_metrics[0]["eval"]["control_mse_mean (J)"])
+
+
+def test_posttrain_chunked_matches_structure(tiny_dataset):
+    """steps_per_call > 1 runs the fused-scan path: same epoch structure,
+    finite Q, same number of optimizer steps and eval cadence as k=1."""
+    train = BurgersDataset.load(tiny_dataset, "train")
+    cal = BurgersDataset.load(tiny_dataset, "cal")
+    test = BurgersDataset.load(tiny_dataset, "test")
+
+    pre_cfg = BurgersPretrainConfig(
+        dim=8, dim_mults=(1, 2), batch_size=4, train_num_steps=2, cosine_t_max=4,
+        checkpoint_every=1000,
+    )
+    state = pretrain(pre_cfg, train, num_steps=2, steps_per_call=2)
+
+    ccfg = BurgersConformalConfig(
+        cal_batch_size=4, num_cal_batch=1, n_cal_samples=4, n_test_samples=4,
+        test_batch_size=4, ddim_sampling_steps=2, w_score=5.0,
+    )
+    pipeline = BurgersPipeline(ccfg, dim=8, dim_mults=(1, 2))
+
+    # 1 epoch x 6 steps, chunk 4 -> one fused chunk + 2-step tail; eval
+    # every subset epoch (subset 16 / batch 4 = every 4 steps)
+    pt_cfg = BurgersPostTrainConfig(
+        conformal=ccfg, finetune_epoch=1, finetune_steps=6, finetune_batch_size=4,
+        finetune_subset_size=16, steps_per_call=4,
+    )
+    state_pt, Q_pt, pt_metrics = posttrain(
+        pt_cfg, pipeline, state.params, train, cal, test,
+        eval_every_subset_epoch=True,
+    )
+    assert int(state_pt.step) == 6
+    assert np.isfinite(float(Q_pt))
+    assert len(pt_metrics) == 1
+    # one eval at it=4 (subset boundary); it=6 is epoch end, not a boundary
+    assert len(pt_metrics[0]["eval_history"]) == 1
