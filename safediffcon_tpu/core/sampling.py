@@ -56,26 +56,31 @@ def model_predictions(
     j_scale=1.0,
     clip_x_start: bool = False,
     rederive_pred_noise: bool = False,
+    proj_guidance: Optional[Callable] = None,
 ) -> ModelPrediction:
     """One denoiser evaluation with optional guidance on predicted x0.
 
     Faithful to reference model_predictions (1D/model/diffusion.py:226-286):
     guidance gradient is evaluated at the (maybe-clipped) x_start derived
-    from the raw model output, added to pred_noise scaled by the J-scheduler
-    step size, then x_start is re-derived (and optionally re-clipped /
-    pred_noise re-derived from the clipped x_start).
+    from the raw model output, combined into pred_noise scaled by the
+    J-scheduler step size (additively, or via `proj_guidance(ep, nablaJ)` —
+    e.g. the ε-orthogonal projections of core/guidance.py, matching the
+    reference's proj_guidance kwarg, 1D/model/diffusion.py:328-333), then
+    x_start is re-derived (and optionally re-clipped / pred_noise re-derived
+    from the clipped x_start).
     """
     t = _batched_t(x, time)
     model_out = apply_fn(params, x, t)
 
     clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+    proj = proj_guidance or (lambda ep, nj: ep + nj)
 
     if cfg.objective == "pred_noise":
         pred_noise = model_out
         x_start = clip(predict_start_from_noise(sched, x, t, pred_noise))
         if guidance_grad is not None:
             g = guidance_grad(jax.lax.stop_gradient(x_start))
-            pred_noise = pred_noise + g * j_scale
+            pred_noise = proj(pred_noise, g * j_scale)
         x_start = clip(predict_start_from_noise(sched, x, t, pred_noise))
         if clip_x_start and rederive_pred_noise:
             pred_noise = predict_noise_from_start(sched, x, t, x_start)
@@ -154,6 +159,7 @@ def ddim_sample(
     j_scheduler: Optional[Callable] = None,
     final_step_grad: bool = False,
     init_noise: Optional[jnp.ndarray] = None,
+    proj_guidance: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Guided DDIM sampling as a single lax.scan.
 
@@ -193,6 +199,7 @@ def ddim_sample(
             j_scale=j_scheduler(time),
             clip_x_start=True,
             rederive_pred_noise=True,
+            proj_guidance=proj_guidance,
         )
         alpha = sched.alphas_cumprod[time]
         alpha_next = sched.alphas_cumprod[time_next]
@@ -223,6 +230,7 @@ def ddim_sample(
         j_scale=j_scheduler(final_time),
         clip_x_start=True,
         rederive_pred_noise=True,
+        proj_guidance=proj_guidance,
     )
     return pred.pred_x_start
 
@@ -238,19 +246,47 @@ def ancestral_sample(
     guidance_grad: Optional[Callable] = None,
     j_scheduler: Optional[Callable] = None,
     final_step_grad: bool = False,
+    proj_guidance: Optional[Callable] = None,
+    guidance_on_x0: bool = True,
+    recurrence: bool = False,
 ) -> jnp.ndarray:
     """Guided ancestral (DDPM) sampling loop as one lax.scan.
 
     Faithful to p_sample_loop (reference: 1D/model/diffusion.py:368-449):
     conditions are imposed at the TOP of each iteration, x_start is clamped
     when clip_denoised, and noise is omitted at t=0.
+
+    guidance_on_x0=False is the reference's `guidance_u0=False` branch
+    (1D/model/diffusion.py:419-424): guidance is evaluated at the denoised
+    x_{t-1} instead of pred-x0, combined into pred_noise via proj_guidance,
+    and the posterior step is re-taken with the overridden pred_noise (the
+    model is NOT re-run — matching the `pred_noise` kwarg override at
+    1D/model/diffusion.py:253-256).
+
+    recurrence=True is Universal-Guidance self-recurrence
+    (1D/model/diffusion.py:428-430 + recurrent_sample :308-318): after each
+    step, x_{t-1} is re-noised back to level t with
+    sqrt(alpha_t/alpha_{t-1})·x + sqrt(1 − alpha_t/alpha_{t-1})·z (no noise
+    at t=0). The reference's recurrence_k loop is commented out
+    (1D/model/diffusion.py:379), so one re-noise per step is the faithful
+    behavior.
     """
     cond = cond if cond is not None else IdentityConditioner()
     j_scheduler = j_scheduler or (lambda t: 1.0)
+    proj = proj_guidance or (lambda ep, nj: ep + nj)
     T = cfg.timesteps
 
     img = jax.random.normal(rng, shape, dtype=jnp.float32)
     scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
+
+    def _posterior_step(img, t, time, x_start, rng):
+        if cfg.clip_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        mean, _, log_var = q_posterior(sched, x_start, img, t)
+        rng, key = jax.random.split(rng)
+        noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+        nz = jnp.where(time > 0, 1.0, 0.0)
+        return mean + nz * jnp.exp(0.5 * log_var) * noise, rng
 
     def p_sample(params_, img, time, rng):
         img = cond.apply(img)
@@ -262,22 +298,36 @@ def ancestral_sample(
             cfg,
             img,
             time,
-            guidance_grad=guidance_grad,
+            guidance_grad=guidance_grad if guidance_on_x0 else None,
             j_scale=j_scheduler(time),
             clip_x_start=False,
+            proj_guidance=proj_guidance,
         )
-        x_start = pred.pred_x_start
-        if cfg.clip_denoised:
-            x_start = jnp.clip(x_start, -1.0, 1.0)
-        mean, _, log_var = q_posterior(sched, x_start, img, t)
+        img_next, rng = _posterior_step(img, t, time, pred.pred_x_start, rng)
+        if guidance_grad is not None and not guidance_on_x0:
+            # guidance at x_{t-1}; re-take the posterior step with the
+            # overridden pred_noise (fresh noise draw, like the reference's
+            # second p_sample call)
+            g = guidance_grad(jax.lax.stop_gradient(img_next))
+            pred_noise = proj(pred.pred_noise, g * j_scheduler(time))
+            x_start = predict_start_from_noise(sched, img, t, pred_noise)
+            img_next, rng = _posterior_step(img, t, time, x_start, rng)
+        return img_next, rng
+
+    def _recur(img, time, rng):
+        # re-noise x_{t-1} back to level t (recurrent_sample)
+        a_t = sched.alphas[time]
+        a_tm1 = sched.alphas_prev[time]
         rng, key = jax.random.split(rng)
-        noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+        z = jax.random.normal(key, img.shape, dtype=img.dtype)
         nz = jnp.where(time > 0, 1.0, 0.0)
-        return mean + nz * jnp.exp(0.5 * log_var) * noise, rng
+        return jnp.sqrt(a_t / a_tm1) * img + nz * jnp.sqrt(1 - a_t / a_tm1) * z, rng
 
     def body(carry, time):
         img, rng = carry
         img, rng = p_sample(scan_params, img, time, rng)
+        if recurrence:
+            img, rng = _recur(img, time, rng)
         return (img, rng), None
 
     times = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # T-1 ... 1

@@ -180,3 +180,70 @@ def test_two_model_composition():
     out3 = ddim_sample(fn0, (None, None), sched, cfg, jax.random.PRNGKey(0),
                        (2, 4, 4, 3))
     assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_recurrence_changes_trajectory_and_stays_finite():
+    """Universal-Guidance self-recurrence (reference: 1D/model/diffusion.py:
+    428-430, recurrent_sample :308-318): re-noising each step changes the
+    sample path but keeps it finite and clipped at the end."""
+    sched = make_schedule(30)
+    cfg = DiffusionConfig(timesteps=30)
+    rng = jax.random.PRNGKey(7)
+    base = ancestral_sample(_zero_model, None, sched, cfg, rng, (2, 16, 8, 3))
+    rec = ancestral_sample(_zero_model, None, sched, cfg, rng, (2, 16, 8, 3),
+                           recurrence=True)
+    assert np.isfinite(np.asarray(rec)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(rec))
+
+
+def test_guidance_on_xprev_branch():
+    """guidance_u0=False branch (reference: 1D/model/diffusion.py:419-424):
+    guidance at x_{t-1} shifts the output, and differs from the x0 branch."""
+    sched = make_schedule(30)
+    cfg = DiffusionConfig(timesteps=30)
+    rng = jax.random.PRNGKey(8)
+    g = lambda x: jnp.ones_like(x) * 0.3
+    base = ancestral_sample(_zero_model, None, sched, cfg, rng, (1, 16, 8, 3))
+    on_x0 = ancestral_sample(_zero_model, None, sched, cfg, rng, (1, 16, 8, 3),
+                             guidance_grad=g)
+    on_xprev = ancestral_sample(_zero_model, None, sched, cfg, rng,
+                                (1, 16, 8, 3), guidance_grad=g,
+                                guidance_on_x0=False)
+    assert np.isfinite(np.asarray(on_xprev)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(on_xprev))
+    assert not np.allclose(np.asarray(on_x0), np.asarray(on_xprev))
+
+
+def test_proj_guidance_matches_reference_formula():
+    """proj_guidance hook with the F-norm projection reproduces the
+    reference's exact (quirky) formula: a GLOBAL (nabla_J·ep) sum and a
+    per-sample sqrt-of-F-norm denominator — NOT a textbook orthogonal
+    projection (reference: get_proj_ep_orthogonal_func,
+    1D/model/model_utils.py:76-78)."""
+    from safediffcon_tpu.core.guidance import get_proj_ep_orthogonal
+
+    proj = get_proj_ep_orthogonal("F")
+    rng = np.random.default_rng(0)
+    ep = rng.normal(size=(2, 16, 8, 3)).astype(np.float32)
+    nj = rng.normal(size=(2, 16, 8, 3)).astype(np.float32)
+    got = np.asarray(proj(jnp.asarray(ep), jnp.asarray(nj)))
+    coef = (nj * ep).sum()
+    denom = np.sqrt((ep**2).sum(axis=(-2, -1)))[..., None, None]
+    expect = ep + nj - coef * ep / denom
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_ddim_proj_guidance_runs():
+    from safediffcon_tpu.core.guidance import get_proj_ep_orthogonal
+
+    def noisy_model(params, x, t):
+        return jnp.ones_like(x) * 0.2  # nonzero ep keeps the proj denominator sane
+
+    sched = make_schedule(30)
+    cfg = DiffusionConfig(timesteps=30, sampling_timesteps=4, ddim_eta=0.0)
+    out = ddim_sample(
+        noisy_model, None, sched, cfg, jax.random.PRNGKey(10), (1, 16, 8, 3),
+        guidance_grad=lambda x: x * 0.1,
+        proj_guidance=get_proj_ep_orthogonal("F"),
+    )
+    assert np.isfinite(np.asarray(out)).all()
