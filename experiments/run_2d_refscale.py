@@ -13,12 +13,14 @@ but model/data/sampler hyperparameters are the reproduce ones.
 """
 import dataclasses
 import json
+import logging
 import os
 import time
 
 import jax
 import jax.numpy as jnp
 
+logging.basicConfig(level=logging.INFO)
 t0 = time.time()
 
 

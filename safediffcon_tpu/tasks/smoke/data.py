@@ -103,6 +103,11 @@ def generate_smoke_dataset(
                                         backend=backend)
     )
 
+    import logging
+    import time as _time
+
+    _log = logging.getLogger(__name__)
+    _t0 = _time.time()
     recs = []
     done = 0
     while done < total:
@@ -146,6 +151,8 @@ def generate_smoke_dataset(
         out[..., 6] = safe[:, :, None, None]
         recs.append(out)
         done += b
+        _log.info("smoke datagen %d/%d sims (%.2f s/sim)", done, total,
+                  (_time.time() - _t0) / done)
 
     data = np.concatenate(recs)
     splits = {
