@@ -98,48 +98,72 @@ def generate_smoke_dataset(
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    rollout = jax.jit(
-        lambda d, v, c: S.smoke_rollout(masks, d, v, c, accuracy, max_iter,
-                                        backend=backend)
-    )
+
+    @jax.jit
+    def gen_batch_fn(dens0, v0, vxs, vys, key):
+        """Noise synthesis + rollout + record subsampling, all on device.
+
+        The full-field control noise ((b, T-1, 128, 128, 2) ~ 33 MB/sim)
+        and the un-subsampled rollout record never cross the host-device
+        boundary — on a tunneled TPU that transfer dominates generation
+        time otherwise."""
+        b_ = dens0.shape[0]
+        noise = jax.random.normal(
+            key, (b_, n_frames - 1, S.N, S.N, 2), jnp.float32)
+        ctrl = jnp.stack(
+            [
+                vxs[:, :-1, None, None] * (1 + 0.1 * noise[..., 0]),
+                vys[:, :-1, None, None] * (1 + 0.1 * noise[..., 1]),
+            ],
+            axis=-1,
+        )
+        rec = S.smoke_rollout(masks, dens0, v0, ctrl, accuracy, max_iter,
+                              backend=backend)
+        ctrl_full = jnp.concatenate(
+            [jnp.zeros((b_, 1, S.N, S.N, 2), ctrl.dtype), ctrl], axis=1)
+        return (
+            rec.density[:, ::time_scale, ::space_scale, ::space_scale],
+            rec.velocity[:, ::time_scale, ::space_scale, ::space_scale],
+            ctrl_full[:, ::time_scale, ::space_scale, ::space_scale],
+            rec.smoke_rate[:, ::time_scale],
+            rec.smoke_safe_rate[:, ::time_scale],
+        )
 
     import logging
     import time as _time
 
     _log = logging.getLogger(__name__)
     _t0 = _time.time()
+    key = jax.random.PRNGKey(seed)
     recs = []
     done = 0
     while done < total:
         b = min(gen_batch, total - done)
         dens0 = np.zeros((b, S.CELLS, S.CELLS), np.float32)
-        controls = np.zeros((b, n_frames - 1, S.N, S.N, 2), np.float32)
+        vxs = np.zeros((b, n_frames), np.float32)
+        vys = np.zeros((b, n_frames), np.float32)
         for i in range(b):
             xs, ys = _waypoints(rng)
             dens0[i, ys[0] : ys[0] + 10, xs[0] : xs[0] + 10] = 1.0
-            vx, vy = _velocity_program(rng, xs, ys, n_frames)
-            noise = rng.normal(size=(n_frames - 1, S.N, S.N, 2)).astype(np.float32)
-            controls[i, ..., 0] = vx[:-1, None, None] * (1 + 0.1 * noise[..., 0])
-            controls[i, ..., 1] = vy[:-1, None, None] * (1 + 0.1 * noise[..., 1])
+            vxs[i], vys[i] = _velocity_program(rng, xs, ys, n_frames)
 
         v0 = np.zeros((b, S.N, S.N, 2), np.float32)
         v0[..., 1] = 0.8
-        rec = rollout(jnp.asarray(dens0), jnp.asarray(v0), jnp.asarray(controls))
+        key, sub = jax.random.split(key)
+        d_rec, v_rec, c_rec, s_rec, sf_rec = gen_batch_fn(
+            jnp.asarray(dens0), jnp.asarray(v0), jnp.asarray(vxs),
+            jnp.asarray(vys), sub)
 
-        # record frames: every time_scale-th, 2x spatial downsample
+        # assemble the (b, n_rec, size, size, 7) record on host (tiny now)
         dens = np.zeros((b, n_rec, size, size), np.float32)
-        d = np.asarray(rec.density[:, ::time_scale])  # (b, n_rec, 127, 127)
-        dsub = d[:, :, ::space_scale, ::space_scale]
+        dsub = np.asarray(d_rec)
         dens[:, :, : dsub.shape[2], : dsub.shape[3]] = dsub
-        vel = np.asarray(rec.velocity[:, ::time_scale, ::space_scale, ::space_scale])
-        ctrl_full = np.concatenate(
-            [np.zeros((b, 1, S.N, S.N, 2), np.float32), controls], axis=1
-        )
-        ctrl = ctrl_full[:, ::time_scale, ::space_scale, ::space_scale]
+        vel = np.asarray(v_rec)
+        ctrl = np.array(c_rec)  # writable copy (np.asarray of a jax array is read-only)
         # zero interior of recorded control (indirect control band)
         ctrl[:, :, lo:hi, lo:hi, :] = 0.0
-        smoke = np.asarray(rec.smoke_rate[:, ::time_scale])
-        safe = np.asarray(rec.smoke_safe_rate[:, ::time_scale])
+        smoke = np.asarray(s_rec)
+        safe = np.asarray(sf_rec)
 
         out = np.zeros((b, n_rec, size, size, 7), np.float32)
         out[..., 0] = dens
