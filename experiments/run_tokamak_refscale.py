@@ -98,6 +98,8 @@ results["finetune_eval"] = hist_ft[-1]["eval"]
 results["Q_finetune"] = float(Q_ft)
 
 print("SUMMARY", json.dumps(results))
-with open("/root/repo/experiments/validation_tokamak_refscale_round2.json", "w") as f:
+tag = os.environ.get("TOK_TAG", "")
+out = f"/root/repo/experiments/validation_tokamak_refscale{tag}_round2.json"
+with open(out, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
-tick("done")
+tick(f"done -> {out}")
