@@ -86,6 +86,9 @@ ft_cfg = dataclasses.replace(
         finetune_quantile=float(Q_pt),
         finetune_w_obj=pt_cfg.conformal.w_obj,
         finetune_w_safe=pt_cfg.conformal.w_safe,
+        # the posttrain checkpoint's guidance_scaler rides into the test-mode
+        # composite weight factor (reference: tokamak/utils/common.py:148-154)
+        finetune_guidance_scaler=pt_cfg.conformal.guidance_scaler,
         finetune_set="test",
     ),
 )

@@ -109,7 +109,10 @@ def _load_params(args, out_dir, task, step=None):
     if args.phase in ("posttrain", "infft"):
         phase = "pretrain"  # finetuning always starts from the pretrain ckpt
     ckpt_dir = os.path.join(out_dir, f"{task}-{phase}")
-    step = step or args.checkpoint or latest_step(ckpt_dir)
+    if step is None:  # explicit None checks: milestone 0 is a valid step
+        step = args.checkpoint
+    if step is None:
+        step = latest_step(ckpt_dir)
     if step is None:
         raise SystemExit(
             f"no checkpoint found in {ckpt_dir} — run `{task} {phase}` first "
@@ -122,12 +125,26 @@ def _load_params(args, out_dir, task, step=None):
 
 def _parse_checkpoints(spec: str):
     """'LO:HI[:STEP]' (HI inclusive) or comma list -> milestone list."""
-    if ":" in spec:
-        parts = [int(x) for x in spec.split(":")]
-        lo, hi = parts[0], parts[1]
-        stride = parts[2] if len(parts) > 2 else 1
-        return list(range(lo, hi + 1, stride))
-    return [int(x) for x in spec.split(",")]
+    try:
+        if ":" in spec:
+            parts = [int(x) for x in spec.split(":")]
+            lo, hi = parts[0], parts[1]
+            stride = parts[2] if len(parts) > 2 else 1
+            if stride <= 0:
+                raise ValueError(f"stride must be positive, got {stride}")
+            steps = list(range(lo, hi + 1, stride))
+        else:
+            steps = [int(x) for x in spec.split(",")]
+    except ValueError as e:
+        raise SystemExit(
+            f"bad --checkpoints spec {spec!r} (want 'LO:HI[:STEP]' or a comma "
+            f"list): {e}"
+        )
+    if not steps:
+        raise SystemExit(
+            f"--checkpoints spec {spec!r} selects no milestones (LO > HI?)"
+        )
+    return steps
 
 
 def _eval_sweep(args, task: str, eval_one) -> None:
@@ -194,7 +211,10 @@ def run_burgers(args) -> int:
                    steps_per_call=_steps_per_call(args))
         return 0
 
-    params, _ = _load_params(args, args.out, "burgers")
+    params = None
+    if not (args.phase == "eval" and args.checkpoints):
+        # sweep mode reloads per milestone; skip the redundant upfront load
+        params, _ = _load_params(args, args.out, "burgers")
 
     pipe = P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
     cal = BurgersDataset.load(data_path, "cal")
@@ -257,7 +277,10 @@ def run_tokamak(args) -> int:
                    steps_per_call=_steps_per_call(args))
         return 0
 
-    params, _ = _load_params(args, args.out, "tokamak")
+    params = None
+    if not (args.phase == "eval" and args.checkpoints):
+        # sweep mode reloads per milestone; skip the redundant upfront load
+        params, _ = _load_params(args, args.out, "tokamak")
 
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
@@ -314,7 +337,10 @@ def run_smoke(args) -> int:
                    steps_per_call=_steps_per_call(args))
         return 0
 
-    params, _ = _load_params(args, args.out, "smoke")
+    params = None
+    if not (args.phase == "eval" and args.checkpoints):
+        # sweep mode reloads per milestone; skip the redundant upfront load
+        params, _ = _load_params(args, args.out, "smoke")
 
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import math
 import time
 from typing import Dict, Optional
 
@@ -236,8 +237,6 @@ def pretrain(
     steps_per_call: int = 1,
 ):
     """Pretrain loop (reference: 1D/model/trainer.py:150-210)."""
-    from safediffcon_tpu.utils.checkpoint import save_checkpoint
-
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups,
                         getattr(cfg, 'compute_dtype', None))
@@ -375,8 +374,14 @@ def posttrain(
     Q = jnp.zeros(())
     n = len(finetune_data)
     all_metrics = []
+    # Eval fires when the cumulative sample count hits a multiple of the
+    # subset size — the reference condition ((it+1)*batch) % subset == 0
+    # (1D/posttrain/post_train.py:288) is equivalent to
+    # it % (subset / gcd(batch, subset)) == 0, which also stays well-formed
+    # when batch does not divide (or exceeds) the subset size.
     eval_period = (
-        cfg.finetune_subset_size // cfg.finetune_batch_size
+        cfg.finetune_subset_size
+        // math.gcd(cfg.finetune_batch_size, cfg.finetune_subset_size)
         if eval_every_subset_epoch else steps_per_epoch
     )
     for epoch in range(cfg.finetune_epoch):

@@ -261,7 +261,13 @@ class SmokeDataset:
             and os.path.isdir(os.path.join(base, name))
         )
         if split == "train":
-            ids = ids[:-n_cal] if len(ids) > n_cal else ids
+            if len(ids) <= n_cal:
+                raise ValueError(
+                    f"train dir {base} holds {len(ids)} sims but the last "
+                    f"n_cal={n_cal} are the calibration split — train and cal "
+                    f"must stay disjoint (reference: 2d/ddpm/data_2d.py:31-37)"
+                )
+            ids = ids[:-n_cal]
         elif split == "cal":
             ids = ids[-n_cal:]
         if subset is not None:

@@ -222,8 +222,6 @@ def pretrain(
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
 ):
-    from safediffcon_tpu.utils.checkpoint import save_checkpoint
-
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None))
     apply_fn = lambda p, x, t: model.apply(p, x, t)

@@ -244,8 +244,6 @@ def pretrain(
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
 ):
-    from safediffcon_tpu.utils.checkpoint import save_checkpoint
-
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups,
                         getattr(cfg, 'compute_dtype', None))
