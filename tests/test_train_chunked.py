@@ -91,3 +91,17 @@ def test_run_train_loop_unchunked_matches_chunked_steps():
     for a, b in ((s1, s2),):
         assert np.isfinite(np.asarray(a.params["w"])).all()
         assert np.isfinite(np.asarray(b.params["w"])).all()
+
+
+def test_eval_cadence_stride_matches_reference_rule():
+    """The posttrain eval stride subset//gcd(batch, subset) fires at exactly
+    the steps where the reference condition ((it+1)*batch) % subset == 0
+    holds (1D/posttrain/post_train.py:288), for divisible and non-divisible
+    batch/subset combinations."""
+    import math
+
+    for batch, subset in [(380, 10240), (4, 16), (16, 8), (3, 8), (512, 10240)]:
+        stride = subset // math.gcd(batch, subset)
+        ref = [m for m in range(1, 4 * stride + 1) if (m * batch) % subset == 0]
+        ours = [m for m in range(1, 4 * stride + 1) if m % stride == 0]
+        assert ref == ours, (batch, subset)
