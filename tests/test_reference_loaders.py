@@ -122,3 +122,42 @@ def test_tokamak_load_hf(tmp_path):
     sub = TokamakDataset.load_hf(str(path), "train", n_train=5, n_cal=2,
                                  n_test=1, subset=3)
     assert len(sub) == 3
+
+
+def test_tokamak_consolidate_then_load_hf(tmp_path):
+    """Reference data-prep flow: per-seed {i}.npz rollout dicts ->
+    consolidated HF dataset (tokamak/data/consolidate_dataset.py:10-58) ->
+    load_hf. Round-trips values exactly."""
+    pytest.importorskip("datasets")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from consolidate_tokamak import consolidate_dataset
+
+    rng = np.random.default_rng(3)
+    n = 6
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    outputs = rng.normal(size=(n, 122, 8)).astype(np.float32)
+    actions = rng.normal(size=(n, 121, 9)).astype(np.float32)
+    for i in range(n):
+        np.savez(
+            seed_dir / f"{i}.npz",
+            data={
+                "inputs": rng.normal(size=(122, 18)).astype(np.float32),
+                "outputs": outputs[i],
+                "actions": actions[i],
+                "targets": rng.normal(size=(3,)).astype(np.float32),
+            },
+        )
+
+    ds = consolidate_dataset(str(seed_dir), 0, n)
+    out = tmp_path / "consolidated_dataset"
+    ds.save_to_disk(str(out))
+
+    train = TokamakDataset.load_hf(str(out), "train", n_train=4, n_cal=1,
+                                   n_test=1)
+    assert len(train) == 4
+    states = outputs[:, :, [1, 4, 6]]
+    np.testing.assert_allclose(train.state_phys, states[:4], rtol=1e-6)
