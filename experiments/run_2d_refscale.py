@@ -52,11 +52,14 @@ data = {s: SmokeDataset.load(DATA, s) for s in ("train", "cal", "test")}
 tick(f"splits loaded: train={len(data['train'].data)} cal={len(data['cal'].data)} "
      f"test={len(data['test'].data)}")
 
-pre = SmokePretrainConfig(batch_size=14, checkpoint_every=1000,
-                          compute_dtype="bfloat16")
-state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=200,
-                 checkpoint_dir=CKPT_DIR,
-                 steps_per_call=10)  # amortize tunnel dispatch latency
+# effective batch 14 = the reference's (7 per GPU x 2 GPUs, 2d/scripts/
+# train.sh); micro-batch 7 + accumulation keeps the fwd+bwd UNet3D step
+# inside one chip's HBM (batch-14 fwd+bwd OOMed the v5e in compile).
+pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
+                          checkpoint_every=1000, compute_dtype="bfloat16")
+state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
+                 checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
+                 steps_per_call=5)  # amortize tunnel dispatch latency
 tick(f"pretrain {PRETRAIN_STEPS} steps done")
 
 results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS}
@@ -64,10 +67,10 @@ results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS}
 # --- post-training at reference hyperparameters (posttrain.sh) ---
 conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                             w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
-                            ddim_sampling_steps=100)
-pipe = SmokePipeline(conf, compute_dtype="bfloat16")
+                            ddim_sampling_steps=100, test_batch_size=25)
+pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25)
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
-                           finetune_steps=PT_STEPS, finetune_batch_size=14,
+                           finetune_steps=PT_STEPS, finetune_batch_size=7,
                            finetune_lr=1e-4)
 params, Q, hist = run_inference(cfg, pipe, state.ema_params,
                                 data["train"], data["cal"], data["test"])
@@ -82,8 +85,10 @@ results["Q_posttrain"] = float(Q)
 # --- backward finetune (finetune.sh: alpha .01, ratio 495, w_safe 1) ---
 bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
                              w_safe=1.0, cal_batch_size=50, num_cal_batch=4,
-                             ddim_sampling_steps=100, use_guidance=False)
-pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test")
+                             ddim_sampling_steps=100, use_guidance=False,
+                             test_batch_size=25)
+pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
+                       cal_chunk=25)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=2, finetune_steps=1)
 params_b, Q_b, hist_b = run_inference(bcfg, pipe_b, params, None,
