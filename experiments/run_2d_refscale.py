@@ -59,7 +59,10 @@ pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
                           checkpoint_every=1000, compute_dtype="bfloat16")
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
                  checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
-                 steps_per_call=5)  # amortize tunnel dispatch latency
+                 steps_per_call=5,  # amortize tunnel dispatch latency
+                 # 3.7 MB/sample records: stream batches from an HBM-resident
+                 # bf16 pool instead of shipping ~50 MB/step over the tunnel
+                 device_pool=2500)
 tick(f"pretrain {PRETRAIN_STEPS} steps done")
 
 results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS}

@@ -105,3 +105,18 @@ def test_eval_cadence_stride_matches_reference_rule():
         ref = [m for m in range(1, 4 * stride + 1) if (m * batch) % subset == 0]
         ours = [m for m in range(1, 4 * stride + 1) if m % stride == 0]
         assert ref == ours, (batch, subset)
+
+
+def test_run_train_loop_device_pool():
+    """device_pool path: batches gathered on device from a pinned bf16 pool;
+    same step count, finite params, works chunked and with a tail."""
+    state, step_fn = _tiny_setup()
+    data = np.random.default_rng(1).normal(size=(32, 4)).astype(np.float32)
+    out = run_train_loop(
+        step_fn, state, data,
+        batch_take=8, num_steps=7, rng=jax.random.PRNGKey(5),
+        steps_per_call=3,  # chunks 3 + 3 + tail 1
+        log_every=10**9, device_pool=16,
+    )
+    assert int(out.step) == 7
+    assert np.isfinite(np.asarray(out.params["w"])).all()
