@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 
 logging.basicConfig(level=logging.INFO)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 t0 = time.time()
 
 
