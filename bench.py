@@ -34,6 +34,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from safediffcon_tpu.core.diffusion import DiffusionConfig
 from safediffcon_tpu.core.sampling import ddim_sample
 from safediffcon_tpu.core.schedules import make_schedule
