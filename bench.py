@@ -49,17 +49,32 @@ from safediffcon_tpu.tasks.burgers.task import (
 )
 
 REFERENCE_STEPS_PER_SEC = 40.0  # derived reference estimate (see docstring)
-PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16; other backends report mfu=None
+# bf16 peak by device kind (jax.devices()[0].device_kind), not by backend
+# name — v4/v6e chips must not silently report v5e MFU.
+PEAK_FLOPS_BY_KIND = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e (Trillium)
+    "TPU v6e": 918e12,
+}
 BATCH = 50  # reference test split size (1D/configs/inference_config.py)
 DDIM_STEPS = 200
+DIM = 128
 # One UNet2D dim-128 batch-50 forward, measured via XLA cost analysis
 # (experiments/profile_guided_step.py / profile_guided_step_round2.jsonl).
-# A constant to keep bench.py to a single compile on this slow host.
+# A constant to keep bench.py to a single compile on this slow host;
+# main() asserts the model/batch config still matches it.
 FWD_FLOPS_PER_STEP = 1.196615663616e12
+FWD_FLOPS_CONFIG = (BATCH, DDIM_STEPS, DIM)
+assert FWD_FLOPS_CONFIG == (50, 200, 128), (
+    "FWD_FLOPS_PER_STEP was measured for batch 50 / DDIM 200 / dim 128; "
+    "re-derive it via jax.jit(...).lower(...).cost_analysis() (see "
+    "experiments/profile_guided_step.py) before changing the bench config")
 
 
 def main():
-    model = UNet2D(dim=128, dim_mults=(1, 2, 4, 8), channels=3,
+    model = UNet2D(dim=DIM, dim_mults=(1, 2, 4, 8), channels=3,
                    resnet_block_groups=1, compute_dtype=jnp.bfloat16)
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(1000, "cosine")
@@ -98,7 +113,7 @@ def main():
 
     steps_per_sec = DDIM_STEPS * reps / elapsed
     sustained_tflops = fwd_flops * steps_per_sec / 1e12
-    peak = PEAK_FLOPS.get(jax.default_backend())
+    peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
     mfu = sustained_tflops * 1e12 / peak if peak else None
     print(json.dumps({
         "metric": "guided_denoise_steps_per_sec_chip",

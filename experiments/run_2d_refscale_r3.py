@@ -1,0 +1,165 @@
+"""Round-3 reference-scale 2D smoke demonstration (VERDICT r2 item 1).
+
+The one undemonstrated reference headline: an at-scale 2D posttrain +
+backward-finetune quality result. 5,000 sims were generated in round 2 at
+native 128^2 x 256 frames (recorded 32x64^2 exactly like 2d/ddpm/data_2d.py)
+and survive at /tmp/smoke_ref.npz; regenerate with
+  python - <<'EOF'
+  from safediffcon_tpu.tasks.smoke import generate_smoke_dataset
+  generate_smoke_dataset("/tmp/smoke_ref.npz", n_train=5000, n_cal=200,
+                         n_test=50, n_frames=256, gen_batch=50, seed=0)
+  EOF
+(~1.8 h on one v5e chip, 0.98 s/sim measured in round 2).
+
+Phases at the reference reproduce hyperparameters (BASELINE.md):
+  pretrain:  bf16+remat UNet3D (dim 64, mults (1,2,4), 7ch), effective
+             batch 14 (= the reference's 7/GPU x 2 GPUs, 2d/scripts/train.sh)
+             as micro-batch 7 x accum 2 on one chip.
+  posttrain: DDIM 100, alpha=.04, standard_fixed_ratio 100, w_safe .9,
+             lr 1e-4, batch 14, cal 50x4 (2d/scripts/posttrain.sh)
+  finetune:  DDIM 100, alpha=.01, ratio 495, w_safe 1, backward
+             (2d/scripts/finetune.sh)
+
+Step-count argument (VERDICT r2 weak #1 asked for this in writing): the
+reference pretrains 200k steps x batch 14 over 19,800 sims = ~141 data
+epochs. Our dataset is 5,000 sims; 20k steps x batch 14 = 56 epochs — past
+the point where the denoising loss plateaus on this dataset size (loss
+curve recorded in the log), and enough that posttrain/backward-finetune
+deltas (the quantities under test) are measured from a converged-loss
+model rather than an undertrained one. Posttrain runs 4 epochs x 1000
+steps vs the reference's 8 x 4000; the reference's own results.yaml
+convention reports per-epoch evals, and the safety/objective movement is
+visible within the first epochs. All counts are env-tunable
+(SMOKE_PRETRAIN_STEPS / SMOKE_PT_EPOCHS / SMOKE_PT_STEPS).
+"""
+import json
+import logging
+import os
+import time
+import zipfile
+
+import numpy as np
+
+import jax
+
+logging.basicConfig(level=logging.INFO)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+t0 = time.time()
+
+
+def tick(msg):
+    print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
+
+from safediffcon_tpu.tasks.smoke import (
+    SmokeConformalConfig, SmokeDataset, SmokeInferenceConfig, SmokePipeline,
+    SmokePretrainConfig, generate_smoke_dataset, pretrain, run_inference,
+)
+from safediffcon_tpu.tasks.smoke.data import RESCALER
+
+DATA = "/tmp/smoke_ref.npz"
+RAW_DIR = "/tmp/smoke_ref_raw"  # uncompressed .npy per split for mmap loads
+CKPT_DIR = "/tmp/smoke_ref_ckpt"
+OUT = "/root/repo/experiments/validation_2d_refscale_round3.json"
+N_TRAIN = int(os.environ.get("SMOKE_N_TRAIN", 5000))
+PRETRAIN_STEPS = int(os.environ.get("SMOKE_PRETRAIN_STEPS", 20000))
+PT_EPOCHS = int(os.environ.get("SMOKE_PT_EPOCHS", 4))
+PT_STEPS = int(os.environ.get("SMOKE_PT_STEPS", 1000))
+BW_EPOCHS = int(os.environ.get("SMOKE_BW_EPOCHS", 2))
+
+tick(f"devices: {jax.devices()}")
+if not os.path.exists(DATA) and not os.path.exists(RAW_DIR):
+    generate_smoke_dataset(DATA, n_train=N_TRAIN, n_cal=200, n_test=50,
+                           n_frames=256, gen_batch=50, seed=0)
+    tick(f"dataset generated ({N_TRAIN}/200/50 sims, 256 frames at 128^2)")
+
+# one-time extraction: deflated npz -> raw .npy files (np.load on the npz
+# decompresses 19 GB every launch, ~14 min; mmap of raw .npy is seconds)
+if not os.path.exists(os.path.join(RAW_DIR, "train_data.npy")):
+    os.makedirs(RAW_DIR, exist_ok=True)
+    with zipfile.ZipFile(DATA) as z:
+        z.extractall(RAW_DIR)
+    tick("npz extracted to raw .npy for mmap loads")
+
+
+def load_split(split):
+    raw = np.load(os.path.join(RAW_DIR, f"{split}_data.npy"), mmap_mode="r")
+    if split == "train":
+        # pretrain only touches .data; keep raw as the mmap (unused)
+        return SmokeDataset(data=(raw / RESCALER).astype(np.float32, copy=False), raw=raw)
+    raw = np.asarray(raw)
+    return SmokeDataset(data=(raw / RESCALER).astype(np.float32, copy=False), raw=raw)
+
+
+data = {s: load_split(s) for s in ("train", "cal", "test")}
+tick(f"splits loaded: train={len(data['train'].data)} cal={len(data['cal'].data)} "
+     f"test={len(data['test'].data)}")
+
+pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
+                          checkpoint_every=1000, compute_dtype="bfloat16")
+# 3.7 MB/sample records: stream batches from an HBM-resident bf16 pool
+# (pool passed as an argument — round 2 captured it as a 4.6 GB HLO
+# constant, which is what made remote compiles take 30-50 min).
+# pool_refresh_every=2000 re-draws the pool so all 5000 sims are trained
+# on (ADVICE r2: a pinned one-time pool halves the effective train set).
+state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
+                 checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
+                 steps_per_call=int(os.environ.get("SMOKE_K", 1)),
+                 device_pool=2500, pool_refresh_every=2000)
+tick(f"pretrain {PRETRAIN_STEPS} steps done")
+
+results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS,
+           "effective_train_set": "full 5000 (device pool 2500, refreshed every 2000 steps)",
+           "pt_epochs": PT_EPOCHS, "pt_steps": PT_STEPS}
+
+
+def dump():
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+
+
+dump()
+
+# --- post-training at reference hyperparameters (posttrain.sh) ---
+conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
+                            w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
+                            ddim_sampling_steps=100, test_batch_size=25)
+pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25)
+cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
+                           finetune_steps=PT_STEPS, finetune_batch_size=7,
+                           finetune_lr=1e-4)
+params, Q, hist = run_inference(cfg, pipe, state.ema_params,
+                                data["train"], data["cal"], data["test"])
+tick(f"posttrain done Q={float(Q):.5f}")
+for h in hist:
+    tick(f"  epoch {h['epoch']}: J_target={h['eval']['J_target']:.5f} "
+         f"unsafe%={h['eval']['unsafe_percentage']:.1f} "
+         f"unsafe_t%={h['eval']['unsafe_percentage_time']:.1f} loss={h['loss']:.4f}")
+results["posttrain_history"] = hist
+results["Q_posttrain"] = float(Q)
+dump()  # posttrain results persisted before the optional backward phase
+
+if os.environ.get("SMOKE_DO_BACKWARD", "1") != "1":
+    print("SUMMARY", json.dumps(results))
+    tick("done (backward phase skipped via SMOKE_DO_BACKWARD=0)")
+    raise SystemExit(0)
+
+# --- backward finetune (finetune.sh: alpha .01, ratio 495, w_safe 1) ---
+bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
+                             w_safe=1.0, cal_batch_size=50, num_cal_batch=4,
+                             ddim_sampling_steps=100, use_guidance=False,
+                             test_batch_size=25)
+pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
+                       cal_chunk=25)
+bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
+                            finetune_epoch=BW_EPOCHS, finetune_steps=1)
+params_b, Q_b, hist_b = run_inference(bcfg, pipe_b, params, None,
+                                      data["cal"], data["test"])
+tick(f"backward finetune done Q={float(Q_b):.5f}")
+results["backward_history"] = hist_b
+results["Q_backward"] = float(Q_b)
+
+print("SUMMARY", json.dumps(results))
+dump()
+tick("done")

@@ -71,6 +71,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-train", type=int, default=None, help="generate-data: train size")
     p.add_argument("--n-cal", type=int, default=None, help="generate-data: cal size")
     p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
+    p.add_argument("--no-dp", action="store_true",
+                   help="disable automatic data parallelism over multiple devices")
     p.add_argument("--resume", action="store_true",
                    help="pretrain: resume from the latest checkpoint in --out")
     p.add_argument("--steps-per-call", type=int, default=None,
@@ -94,11 +96,48 @@ def _resume_dir(args, ckpt_dir):
 
 
 def _steps_per_call(args):
-    if getattr(args, "steps_per_call", None):
-        return args.steps_per_call
+    # explicit None check: --steps-per-call 0/1 means "no chunking"
+    if getattr(args, "steps_per_call", None) is not None:
+        return max(args.steps_per_call, 1)
     import jax
 
     return 25 if jax.default_backend() == "tpu" else 1
+
+
+def _dispatch_load(ds_cls, data_path: str, split: str, **kw):
+    """Route --data to the loader matching its on-disk format.
+
+    *.npz           -> native consolidated arrays (`load`)
+    *.h5 / *.hdf5   -> reference Burgers HDF5 (`load_h5`; per-split sibling
+                       files `burgers_{split}.h5` are resolved automatically,
+                       reference: 1D/data/load_hdf5.py:6-57)
+    HF dataset dir  -> reference tokamak datasets.load_from_disk layout
+                       (`load_hf`, reference: tokamak/data/tokamak_dataset.py:5-56)
+    other dir       -> reference smoke per-sim npy-dir layout
+                       (`load_sim_dirs`, reference: 2d/ddpm/data_2d.py:43-113)
+    """
+    if data_path.endswith((".h5", ".hdf5")):
+        if not hasattr(ds_cls, "load_h5"):
+            raise SystemExit(f"{ds_cls.__name__} has no HDF5 loader")
+        path, base = data_path, os.path.basename(data_path)
+        for other in ("train", "cal", "test"):
+            if other != split and other in base:
+                cand = os.path.join(
+                    os.path.dirname(data_path), base.replace(other, split))
+                if os.path.exists(cand):
+                    path = cand
+        return ds_cls.load_h5(path, split, **kw)
+    if os.path.isdir(data_path):
+        if os.path.exists(os.path.join(data_path, "dataset_info.json")) or os.path.exists(
+            os.path.join(data_path, "state.json")
+        ):
+            if not hasattr(ds_cls, "load_hf"):
+                raise SystemExit(f"{ds_cls.__name__} has no HF-dataset loader")
+            return ds_cls.load_hf(data_path, split, **kw)
+        if not hasattr(ds_cls, "load_sim_dirs"):
+            raise SystemExit(f"{ds_cls.__name__} has no sim-dir loader")
+        return ds_cls.load_sim_dirs(data_path, split, **kw)
+    return ds_cls.load(data_path, split, **kw)
 
 
 def _load_params(args, out_dir, task, step=None):
@@ -204,7 +243,7 @@ def run_burgers(args) -> int:
     dim = args.dim or 128
     if args.phase == "pretrain":
         cfg = BurgersPretrainConfig(dim=dim, seed=args.seed)
-        train = BurgersDataset.load(data_path, "train")
+        train = _dispatch_load(BurgersDataset, data_path, "train")
         P.pretrain(cfg, train, num_steps=args.steps,
                    checkpoint_dir=os.path.join(args.out, "burgers-pretrain"),
                    resume_dir=_resume_dir(args, os.path.join(args.out, "burgers-pretrain")),
@@ -217,12 +256,12 @@ def run_burgers(args) -> int:
         params, _ = _load_params(args, args.out, "burgers")
 
     pipe = P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
-    cal = BurgersDataset.load(data_path, "cal")
-    test = BurgersDataset.load(data_path, "test")
+    cal = _dispatch_load(BurgersDataset, data_path, "cal")
+    test = _dispatch_load(BurgersDataset, data_path, "test")
 
     if args.phase == "posttrain":
         cfg = BurgersPostTrainConfig(seed=args.seed)
-        finetune = BurgersDataset.load(data_path, "train", subset=cfg.finetune_subset_size)
+        finetune = _dispatch_load(BurgersDataset, data_path, "train", subset=cfg.finetune_subset_size)
         state, Q, metrics = P.posttrain(cfg, pipe, params, finetune, cal, test,
                                         finetune_steps=args.steps)
         from safediffcon_tpu.utils.checkpoint import save_finetuned
@@ -270,7 +309,7 @@ def run_tokamak(args) -> int:
     dim = args.dim or 128
     if args.phase == "pretrain":
         cfg = TokamakPretrainConfig(dim=dim, seed=args.seed)
-        train = TokamakDataset.load(data_path, "train")
+        train = _dispatch_load(TokamakDataset, data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"),
                  resume_dir=_resume_dir(args, os.path.join(args.out, "tokamak-pretrain")),
@@ -285,17 +324,17 @@ def run_tokamak(args) -> int:
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
         pipe = TokamakPipeline(cfg.conformal, dim=dim)
-        train = TokamakDataset.load(data_path, "train")
-        cal = TokamakDataset.load(data_path, "cal")
-        test = TokamakDataset.load(data_path, "test")
+        train = _dispatch_load(TokamakDataset, data_path, "train")
+        cal = _dispatch_load(TokamakDataset, data_path, "cal")
+        test = _dispatch_load(TokamakDataset, data_path, "test")
         params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"tokamak-{args.phase}"), params, Q)
         print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
         pipe = TokamakPipeline(TokamakConformalConfig(), dim=dim)
-        cal = TokamakDataset.load(data_path, "cal")
-        test = TokamakDataset.load(data_path, "test")
+        cal = _dispatch_load(TokamakDataset, data_path, "cal")
+        test = _dispatch_load(TokamakDataset, data_path, "test")
 
         def eval_one(step):
             p = params if step is None else _load_params(args, args.out, "tokamak", step=step)[0]
@@ -330,7 +369,7 @@ def run_smoke(args) -> int:
     dim = args.dim or 64
     if args.phase == "pretrain":
         cfg = SmokePretrainConfig(dim=dim, seed=args.seed)
-        train = SmokeDataset.load(data_path, "train")
+        train = _dispatch_load(SmokeDataset, data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
                  resume_dir=_resume_dir(args, os.path.join(args.out, "smoke-pretrain")),
@@ -348,17 +387,17 @@ def run_smoke(args) -> int:
             cfg.conformal, dim=dim,
             finetune_set="test" if cfg.backward_finetune else "train",
         )
-        train = SmokeDataset.load(data_path, "train")
-        cal = SmokeDataset.load(data_path, "cal")
-        test = SmokeDataset.load(data_path, "test")
+        train = _dispatch_load(SmokeDataset, data_path, "train")
+        cal = _dispatch_load(SmokeDataset, data_path, "cal")
+        test = _dispatch_load(SmokeDataset, data_path, "test")
         params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
         pipe = SmokePipeline(SmokeConformalConfig(), dim=dim)
-        cal = SmokeDataset.load(data_path, "cal")
-        test = SmokeDataset.load(data_path, "test")
+        cal = _dispatch_load(SmokeDataset, data_path, "cal")
+        test = _dispatch_load(SmokeDataset, data_path, "test")
 
         def eval_one(step):
             p = params if step is None else _load_params(args, args.out, "smoke", step=step)[0]
@@ -385,6 +424,18 @@ def main(argv=None) -> int:
     _add_common(parser)
     args = parser.parse_args(argv)
     _setup_logging()
+    if not args.no_dp and args.phase != "generate-data":
+        # data-parallel by default whenever >1 device is visible: batches
+        # shard over a 1-axis mesh, params replicate, XLA inserts the
+        # collectives (the reference's Accelerate-DDP equivalent,
+        # 1D/model/trainer.py:47-50, 2d/default_config.yaml)
+        from safediffcon_tpu.parallel.mesh import auto_mesh, init_distributed
+
+        init_distributed()
+        mesh = auto_mesh()
+        if mesh is not None:
+            logging.info("data-parallel mesh active over %d devices",
+                         mesh.devices.size)
     _register_run(args.out, args)
     return TASKS[args.task](args)
 

@@ -228,6 +228,7 @@ def run_train_loop(
     logger=None,
     log_prefix: str = "pretrain",
     device_pool: int = 0,
+    pool_refresh_every: int = 0,
 ):
     """Shared epoch-less training loop used by all three task pretrains.
 
@@ -245,34 +246,68 @@ def run_train_loop(
     smoke records ≈ 3.7 MB/sample over a tunneled TPU). Samples are cast
     back to float32 inside the step, so only the bf16 quantization of the
     stored pool differs from host streaming.
+
+    When the pool is smaller than the dataset it is RE-DRAWN from the full
+    dataset every `pool_refresh_every` steps (default: after ~3 passes over
+    the pool) so every sample is eventually trained on — a one-time pool
+    would silently shrink the effective train set to `device_pool` samples.
     """
     import time as _time
 
     import numpy as np
+
+    from safediffcon_tpu.parallel import mesh as pmesh
 
     if checkpoint_dir:
         from safediffcon_tpu.utils.checkpoint import save_checkpoint
 
     k = max(int(steps_per_call), 1)
 
+    # Data parallelism: with an active mesh, params/opt state replicate and
+    # batches shard over the data axis — XLA derives the gradient psum from
+    # the shardings (the reference's Accelerate-DDP equivalent,
+    # 1D/model/trainer.py:47-50).
+    dp = pmesh.active_mesh()
+    if dp is not None:
+        state = pmesh.maybe_replicate(state)
+        if logger:
+            logger.info("%s: data-parallel over %d devices (batch %d)",
+                        log_prefix, dp.devices.size, batch_take)
+
     if device_pool and device_pool > 0:
         pool = min(int(device_pool), data.shape[0])
-        pool_ids = np.random.default_rng(seed + 7).choice(
-            data.shape[0], pool, replace=False)
-        data_dev = jax.device_put(jnp.asarray(data[pool_ids], jnp.bfloat16))
+
+        def draw_pool(salt):
+            ids = np.random.default_rng(seed + 7 + salt).choice(
+                data.shape[0], pool, replace=False)
+            return pmesh.maybe_shard(jnp.asarray(data[ids], jnp.bfloat16))
+
+        data_dev = draw_pool(start_step)
+        if pool_refresh_every <= 0:
+            # default: re-draw after ~3 passes over the pool (never if the
+            # pool covers the whole dataset)
+            pool_refresh_every = (
+                0 if pool >= data.shape[0] else max(1, 3 * pool // batch_take))
+        if pool >= data.shape[0]:
+            pool_refresh_every = 0
         if logger:
-            logger.info("%s: pinned %d samples (%.2f GB bf16) in device memory",
-                        log_prefix, pool, data_dev.nbytes / 1e9)
+            logger.info(
+                "%s: pinned %d/%d samples (%.2f GB bf16) in device memory"
+                "%s", log_prefix, pool, data.shape[0], data_dev.nbytes / 1e9,
+                f", refreshed every {pool_refresh_every} steps"
+                if pool_refresh_every else "")
 
-        def gather_step(s, key, idx):
-            return step_fn(s, key, data_dev[idx].astype(jnp.float32))
+        # the pool is an ARGUMENT (not a closure capture) so a refreshed
+        # pool array is actually used by the already-compiled step
+        def gather_step(s, key, idx, pool_arr):
+            return step_fn(s, key, pool_arr[idx].astype(jnp.float32))
 
-        def multi_gather(state, rng, idxs):
+        def multi_gather(state, rng, idxs, pool_arr):
             keys = jax.random.split(rng, k)
 
             def body(s, xs):
                 key, idx = xs
-                s, loss = gather_step(s, key, idx)
+                s, loss = gather_step(s, key, idx, pool_arr)
                 return s, loss
 
             state, losses = jax.lax.scan(body, state, (keys, idxs))
@@ -309,27 +344,43 @@ def run_train_loop(
     loss_acc, loss_n = 0.0, 0
     last_log = start_step
     last_ckpt = start_step
+    last_pool = start_step
     step = start_step
     while step < num_steps:
         kk = min(k, num_steps - step)
+        if checkpoint_dir and checkpoint_every < 10**9:
+            # clamp the chunk at the next checkpoint cadence point so
+            # milestone step numbers stay exact multiples of the cadence
+            # (reference milestones: 1D/model/trainer.py:190-205)
+            next_ckpt = (step // checkpoint_every + 1) * checkpoint_every
+            kk = min(kk, next_ckpt - step)
+        if (data_dev is not None and pool_refresh_every
+                and step - last_pool >= pool_refresh_every):
+            data_dev = draw_pool(step)
+            order = np.random.default_rng(seed + step + 13).permutation(n)
+            pos = 0
+            last_pool = step
+            if logger:
+                logger.info("%s: refreshed device pool at step %d",
+                            log_prefix, step)
         sel = draw(batch_take * kk)
         rng, key = jax.random.split(rng)
         if data_dev is not None:
             idxs = jnp.asarray(sel.reshape(kk, batch_take), jnp.int32)
             if kk == k and k > 1:
-                state, loss = multi(state, key, idxs)
+                state, loss = multi(state, key, idxs, data_dev)
             else:
                 keys = jax.random.split(key, kk)
                 ls = []
                 for i in range(kk):
-                    state, l = single(state, keys[i], idxs[i])
+                    state, l = single(state, keys[i], idxs[i], data_dev)
                     ls.append(l)
                 loss = jnp.stack(ls).mean()
         elif kk == k:
-            batch = jnp.asarray(data[sel])
+            batch = np.asarray(data[sel])
             if k > 1:
                 batch = batch.reshape(k, batch_take, *batch.shape[1:])
-            state, loss = multi(state, key, batch)
+            state, loss = multi(state, key, pmesh.maybe_shard(batch, axis=1 if k > 1 else 0))
         else:  # final partial chunk: single steps
             batch = jnp.asarray(data[sel])
             if tail_fn is None:

@@ -20,6 +20,60 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# Process-wide active mesh. Production entry points (CLI, pipelines) go
+# data-parallel automatically when one is active: batches are sharded over
+# it and params replicated, matching the reference's always-on Accelerate
+# DDP (reference: 1D/model/trainer.py:47-50, 2d/default_config.yaml).
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def activate_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Set (or clear, with None) the process-wide mesh; returns previous."""
+    global _ACTIVE_MESH
+    prev, _ACTIVE_MESH = _ACTIVE_MESH, mesh
+    return prev
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Activate a 1-axis data mesh over all devices when more than one is
+    available (the CLI calls this so `pretrain`/`calibrate`/`evaluate` are
+    data-parallel on a multi-chip host with no code changes)."""
+    if jax.device_count() >= min_devices:
+        mesh = get_mesh()
+        activate_mesh(mesh)
+        return mesh
+    return None
+
+
+def maybe_shard(x, axis: int = 0, mesh: Optional[Mesh] = None):
+    """Device-put `x` with its `axis` sharded over the active mesh.
+
+    Falls back to a plain (unsharded) jnp array when no mesh is active or
+    the axis length is not divisible by the mesh size — per-sample exactness
+    is preserved either way, sharding is purely a placement optimization.
+    """
+    import jax.numpy as jnp
+
+    mesh = mesh if mesh is not None else _ACTIVE_MESH
+    if mesh is None or mesh.devices.size <= 1:
+        return jnp.asarray(x)
+    if x.shape[axis] % mesh.devices.size != 0:
+        return jnp.asarray(x)
+    spec = P(*([None] * axis), DATA_AXIS)
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def maybe_replicate(tree, mesh: Optional[Mesh] = None):
+    """Replicate a pytree over the active mesh (no-op without one)."""
+    mesh = mesh if mesh is not None else _ACTIVE_MESH
+    if mesh is None or mesh.devices.size <= 1:
+        return tree
+    return jax.device_put(tree, replicated(mesh))
+
 
 def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first n devices (all by default)."""

@@ -354,6 +354,8 @@ class RolloutRecord(NamedTuple):
     velocity: jnp.ndarray  # (B, T, N, N, 2)
     smoke_rate: jnp.ndarray  # (B, T) target-bucket absorption fraction
     smoke_safe_rate: jnp.ndarray  # (B, T) safe-box absorption fraction
+    mass: jnp.ndarray  # (B, T) total mass: absorbed-by-buckets + in-domain
+    # (the reference's density_field_sum, 2d/apps/a_gen_dataset_128.py:731-737)
 
 
 def _absorb(density, region_masks, concat, accum):
@@ -398,13 +400,12 @@ def smoke_rollout(
     )
 
     def rates(bucket_acc, safe_acc, zero_d, safe_d):
-        smoke = bucket_acc[:, TARGET_BUCKET] / (
-            bucket_acc.sum(-1) + zero_d.sum((-1, -2))
-        )
+        mass = bucket_acc.sum(-1) + zero_d.sum((-1, -2))
+        smoke = bucket_acc[:, TARGET_BUCKET] / mass
         safe = safe_acc[:, 0] / (safe_acc.sum(-1) + safe_d.sum((-1, -2)))
-        return smoke, safe
+        return smoke, safe, mass
 
-    smoke0, srate0 = rates(bucket_acc, safe_acc, zero0, safe0)
+    smoke0, srate0, mass0 = rates(bucket_acc, safe_acc, zero0, safe0)
 
     def body(carry, control):
         dens, zero_d, safe_d, vel, b_acc, s_acc, p_prev = carry
@@ -422,14 +423,14 @@ def smoke_rollout(
 
         zero_d, b_acc = _absorb(zero_d, masks.bucket_masks, masks.bucket_concat, b_acc)
         safe_d, s_acc = _absorb(safe_d, masks.safe_masks, masks.safe_concat, s_acc)
-        smoke, safe = rates(b_acc, s_acc, zero_d, safe_d)
-        out = (dens, zero_d, vel, smoke, safe)
+        smoke, safe, mass = rates(b_acc, s_acc, zero_d, safe_d)
+        out = (dens, zero_d, vel, smoke, safe, mass)
         return (dens, zero_d, safe_d, vel, b_acc, s_acc, p_prev), out
 
     p0 = jnp.zeros((b, CELLS, CELLS), dens0.dtype)
     carry0 = (dens0, zero0, safe0, init_velocity, bucket_acc, safe_acc, p0)
     controls_t = jnp.moveaxis(controls, 1, 0)  # (T, B, ...)
-    _, (ds, zs, vs, sm, sf) = jax.lax.scan(body, carry0, controls_t)
+    _, (ds, zs, vs, sm, sf, ms) = jax.lax.scan(body, carry0, controls_t)
 
     density = jnp.concatenate([dens0[:, None], jnp.moveaxis(ds, 0, 1)], axis=1)
     zero_density = jnp.concatenate([zero0[:, None], jnp.moveaxis(zs, 0, 1)], axis=1)
@@ -438,7 +439,9 @@ def smoke_rollout(
     )
     smoke_rate = jnp.concatenate([smoke0[:, None], jnp.moveaxis(sm, 0, 1)], axis=1)
     safe_rate = jnp.concatenate([srate0[:, None], jnp.moveaxis(sf, 0, 1)], axis=1)
-    return RolloutRecord(density, zero_density, velocity, smoke_rate, safe_rate)
+    mass = jnp.concatenate([mass0[:, None], jnp.moveaxis(ms, 0, 1)], axis=1)
+    return RolloutRecord(density, zero_density, velocity, smoke_rate, safe_rate,
+                         mass)
 
 
 def upsample_control(c: jnp.ndarray, time_scale: int, space_scale: int) -> jnp.ndarray:

@@ -43,6 +43,7 @@ from safediffcon_tpu.core.train import (
     warmup_cosine_schedule,
 )
 from safediffcon_tpu.core.conformal import normalize_weights, weighted_quantile
+from safediffcon_tpu.parallel.mesh import maybe_replicate, maybe_shard
 from safediffcon_tpu.models.unet2d import UNet2D
 from safediffcon_tpu.tasks.burgers.task import (
     PAD_SIZE,
@@ -192,11 +193,12 @@ class BurgersPipeline:
         (reference: 1D/posttrain/post_train.py:353-365)."""
         bs = self.ccfg.cal_batch_size
         chunk = min(self.cal_chunk or bs, bs)
+        params = maybe_replicate(params)
         scores, weights = [], []
         for i in range(self.ccfg.num_cal_batch):
             for lo in range(0, bs, chunk):
                 base = i * bs + lo
-                batch = jnp.asarray(cal_data[base : base + chunk])
+                batch = maybe_shard(cal_data[base : base + chunk])
                 rng, key = jax.random.split(rng)
                 s, w = self._cal_batch(params, key, batch, Q)
                 scores.append(s)
@@ -210,15 +212,16 @@ class BurgersPipeline:
     def reweights(self, data: np.ndarray, Q, batch_size: int = 2048) -> jnp.ndarray:
         ws = []
         for lo in range(0, len(data), batch_size):
-            ws.append(self._weights_batch(jnp.asarray(data[lo : lo + batch_size]), Q))
+            ws.append(self._weights_batch(maybe_shard(data[lo : lo + batch_size]), Q))
         return normalize_weights(jnp.concatenate(ws))
 
     # ---- evaluation ------------------------------------------------------
 
     def evaluate(self, params, test: BurgersDataset, Q, rng, guided=True) -> Dict:
-        state = jnp.asarray(test.data)
-        u_target = jnp.asarray(test.u_phys)
-        metrics = self._evaluate(params, rng, state, u_target, Q, guided=guided)
+        state = maybe_shard(test.data)
+        u_target = maybe_shard(test.u_phys)
+        metrics = self._evaluate(maybe_replicate(params), rng, state, u_target,
+                                 Q, guided=guided)
         return {k: float(v) for k, v in metrics.items()}
 
 
@@ -339,7 +342,8 @@ def posttrain(
         cfg.optimizer, lr, weight_decay=cfg.weight_decay, betas=(0.9, 0.999),
         max_grad_norm=cfg.max_grad_norm,
     )
-    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+    state = maybe_replicate(
+        TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every))
 
     def finetune_step(state, rng, xw):
         batch, w = xw
@@ -394,14 +398,15 @@ def posttrain(
             seg = min(eval_period - it % eval_period, steps_per_epoch - it)
             kk = min(k, seg)
             sel = sels[it : it + kk].reshape(-1)
-            batch = jnp.asarray(finetune_data.data[sel])
-            w = jnp.asarray(w_train[sel])
+            batch = np.asarray(finetune_data.data[sel])
+            w = np.asarray(w_train[sel])
             rng, key = jax.random.split(rng)
             if kk > 1 and kk == k:
                 shape = (kk, cfg.finetune_batch_size)
                 state, loss = multi_step(
                     state, key,
-                    (batch.reshape(shape + batch.shape[1:]), w.reshape(shape)),
+                    (maybe_shard(batch.reshape(shape + batch.shape[1:]), axis=1),
+                     maybe_shard(w.reshape(shape), axis=1)),
                 )
             else:
                 keys = jax.random.split(key, kk)
@@ -409,7 +414,9 @@ def posttrain(
                 for i in range(kk):
                     lo = i * cfg.finetune_batch_size
                     hi = lo + cfg.finetune_batch_size
-                    state, l = single_step(state, keys[i], (batch[lo:hi], w[lo:hi]))
+                    state, l = single_step(
+                        state, keys[i],
+                        (maybe_shard(batch[lo:hi]), maybe_shard(w[lo:hi])))
                     ls.append(l)
                 loss = jnp.stack(ls).mean()
             it += kk
@@ -464,7 +471,8 @@ def inference_finetune(
         cfg.optimizer, lr, weight_decay=cfg.weight_decay, betas=(0.9, 0.999),
         max_grad_norm=cfg.max_grad_norm,
     )
-    state = TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every)
+    state = maybe_replicate(
+        TrainState.create(params, tx, cfg.ema_decay, cfg.ema_update_every))
 
     @jax.jit
     def infft_step(state, rng, test_batch, Q):
@@ -495,7 +503,7 @@ def inference_finetune(
     for epoch in range(cfg.InfFT_iters - 1):
         losses = []
         for lo in range(0, len(test_data), ccfg.test_batch_size):
-            batch = jnp.asarray(test_data.data[lo : lo + ccfg.test_batch_size])
+            batch = maybe_shard(test_data.data[lo : lo + ccfg.test_batch_size])
             rng, key = jax.random.split(rng)
             state, loss = infft_step(state, key, batch, Q)
             losses.append(float(loss))

@@ -82,12 +82,21 @@ def generate_smoke_dataset(
     accuracy: float = 1e-6,
     max_iter: int = 500,
     backend: str = "auto",
+    conservation_min: Optional[float] = None,
+    conservation_max: Optional[float] = None,
 ) -> None:
     """Generate all splits with the vmapped JAX rollout and save one npz.
 
     Controls are full-field N(vx, |vx|/10) noise recorded every
     time_scale frames at 64^2 with the interior zeroed (reference:
-    get_envolve, 2d/apps/a_gen_dataset_128.py:287-313)."""
+    get_envolve, 2d/apps/a_gen_dataset_128.py:287-313).
+
+    conservation_min/max, when set, reject sims whose final total mass
+    (bucket-absorbed + in-domain, as a fraction of the initial blob mass)
+    falls outside [conservation_min, conservation_max] — the reference
+    dataset writer's density-sum quality filter (min_sum_rate/max_sum_rate,
+    reference: 2d/apps/a_gen_dataset_128.py:731-741). Rejected sims are
+    regenerated until each split is full."""
     masks = S.build_masks()
     time_scale = max(n_frames // record_frames, 1)
     n_rec = n_frames // time_scale
@@ -127,6 +136,7 @@ def generate_smoke_dataset(
             ctrl_full[:, ::time_scale, ::space_scale, ::space_scale],
             rec.smoke_rate[:, ::time_scale],
             rec.smoke_safe_rate[:, ::time_scale],
+            rec.mass[:, -1] / rec.mass[:, 0],
         )
 
     import logging
@@ -137,8 +147,15 @@ def generate_smoke_dataset(
     key = jax.random.PRNGKey(seed)
     recs = []
     done = 0
+    attempted = 0
     while done < total:
+        if attempted >= 20 * total + gen_batch:
+            raise RuntimeError(
+                f"smoke datagen: conservation filter [{conservation_min}, "
+                f"{conservation_max}] rejected nearly all of {attempted} "
+                f"generated sims ({done}/{total} kept) — bounds too tight")
         b = min(gen_batch, total - done)
+        attempted += b
         dens0 = np.zeros((b, S.CELLS, S.CELLS), np.float32)
         vxs = np.zeros((b, n_frames), np.float32)
         vys = np.zeros((b, n_frames), np.float32)
@@ -150,7 +167,7 @@ def generate_smoke_dataset(
         v0 = np.zeros((b, S.N, S.N, 2), np.float32)
         v0[..., 1] = 0.8
         key, sub = jax.random.split(key)
-        d_rec, v_rec, c_rec, s_rec, sf_rec = gen_batch_fn(
+        d_rec, v_rec, c_rec, s_rec, sf_rec, mass_ratio = gen_batch_fn(
             jnp.asarray(dens0), jnp.asarray(v0), jnp.asarray(vxs),
             jnp.asarray(vys), sub)
 
@@ -173,10 +190,23 @@ def generate_smoke_dataset(
         out[..., 4] = ctrl[..., 1]
         out[..., 5] = smoke[:, :, None, None]
         out[..., 6] = safe[:, :, None, None]
+        if conservation_min is not None or conservation_max is not None:
+            mr = np.asarray(mass_ratio)
+            keep = np.ones(b, bool)
+            if conservation_min is not None:
+                keep &= mr > conservation_min
+            if conservation_max is not None:
+                keep &= mr < conservation_max
+            if not keep.all():
+                _log.info("smoke datagen: rejected %d/%d sims "
+                          "(mass ratio outside [%s, %s])", int((~keep).sum()),
+                          b, conservation_min, conservation_max)
+            out = out[keep]
+            b = int(keep.sum())
         recs.append(out)
         done += b
         _log.info("smoke datagen %d/%d sims (%.2f s/sim)", done, total,
-                  (_time.time() - _t0) / done)
+                  (_time.time() - _t0) / max(done, 1))
 
     data = np.concatenate(recs)
     splits = {
@@ -230,7 +260,7 @@ class SmokeDataset:
             raw = z[f"{split}_data"]
         if subset is not None:
             raw = raw[:subset]
-        return cls(data=(raw / RESCALER).astype(np.float32), raw=raw)
+        return cls(data=(raw / RESCALER).astype(np.float32, copy=False), raw=raw)
 
     @classmethod
     def load_sim_dirs(
@@ -275,7 +305,7 @@ class SmokeDataset:
         raw = np.stack(
             [_read_reference_sim(base, sim_id, frames) for sim_id in ids]
         )
-        return cls(data=(raw / RESCALER).astype(np.float32), raw=raw)
+        return cls(data=(raw / RESCALER).astype(np.float32, copy=False), raw=raw)
 
     def __len__(self) -> int:
         return self.data.shape[0]

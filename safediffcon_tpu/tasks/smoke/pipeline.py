@@ -19,6 +19,8 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from safediffcon_tpu.parallel.mesh import maybe_replicate, maybe_shard
 import optax
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
@@ -177,7 +179,8 @@ class SmokePipeline:
             for lo in range(0, bs, chunk):
                 sl = slice(i * bs + lo, i * bs + lo + chunk)
                 rng, key = jax.random.split(rng)
-                s, w = self._cal_batch(params, key, jnp.asarray(cal.data[sl]), Q)
+                s, w = self._cal_batch(maybe_replicate(params), key,
+                                   maybe_shard(cal.data[sl]), Q)
                 scores.append(s)
                 weights.append(w)
         scores = jnp.concatenate(scores)
@@ -188,12 +191,13 @@ class SmokePipeline:
     def reweights(self, data: SmokeDataset, Q, batch_size: int = 256) -> np.ndarray:
         ws = []
         for lo in range(0, len(data), batch_size):
-            ws.append(self._weights_batch(jnp.asarray(data.data[lo : lo + batch_size]), Q))
+            ws.append(self._weights_batch(maybe_shard(data.data[lo : lo + batch_size]), Q))
         return np.asarray(normalize_weights(jnp.concatenate(ws)))
 
     def evaluate(self, params, test: SmokeDataset, Q, rng, guided=None) -> Dict:
         guided = self.ccfg.use_guidance if guided is None else guided
-        m = self._evaluate(params, rng, jnp.asarray(test.raw), Q, guided=guided)
+        m = self._evaluate(maybe_replicate(params), rng, maybe_shard(test.raw),
+                           Q, guided=guided)
         return {k: float(v) for k, v in m.items()}
 
 
@@ -222,6 +226,7 @@ def pretrain(
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
     device_pool: int = 0,
+    pool_refresh_every: int = 0,
 ):
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None))
@@ -288,7 +293,7 @@ def pretrain(
         start_step=start_step, seed=cfg.seed, steps_per_call=steps_per_call,
         log_every=log_every, checkpoint_every=cfg.checkpoint_every,
         checkpoint_dir=checkpoint_dir, logger=log, log_prefix="smoke pretrain",
-        device_pool=device_pool,
+        device_pool=device_pool, pool_refresh_every=pool_refresh_every,
     )
 
 
@@ -369,7 +374,8 @@ def run_inference(
                 for _ in range(cfg.finetune_steps):
                     rng, key = jax.random.split(rng)
                     params, opt_state, loss = backward_step(
-                        params, opt_state, key, jnp.asarray(test_data.data[sl]), Q
+                        params, opt_state, key,
+                        maybe_shard(test_data.data[sl]), Q
                     )
                     losses.append(float(loss))
         else:
@@ -382,7 +388,7 @@ def run_inference(
                 rng, key = jax.random.split(rng)
                 params, opt_state, loss = weighted_step(
                     params, opt_state, key,
-                    jnp.asarray(train_data.data[sel]), jnp.asarray(w_train[sel]),
+                    maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
                 )
                 losses.append(float(loss))
 

@@ -26,6 +26,8 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from safediffcon_tpu.parallel.mesh import maybe_replicate, maybe_shard
 import optax
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
@@ -203,8 +205,8 @@ class TokamakPipeline:
                 sl = slice(i * bs + lo, i * bs + lo + chunk)
                 rng, key = jax.random.split(rng)
                 s, w = self._cal_batch(
-                    params, key, jnp.asarray(cal.data[sl]),
-                    jnp.asarray(cal.state_phys[sl]), Q
+                    maybe_replicate(params), key, maybe_shard(cal.data[sl]),
+                    maybe_shard(cal.state_phys[sl]), Q
                 )
                 scores.append(s)
                 weights.append(w)
@@ -217,13 +219,14 @@ class TokamakPipeline:
         for lo in range(0, len(data), batch_size):
             sl = slice(lo, lo + batch_size)
             ws.append(self._weights_batch(
-                jnp.asarray(data.data[sl]), jnp.asarray(data.state_phys[sl]), Q))
+                maybe_shard(data.data[sl]), maybe_shard(data.state_phys[sl]), Q))
         return np.asarray(normalize_weights(jnp.concatenate(ws)))
 
     def evaluate(self, params, test: TokamakDataset, Q, rng, guided=None) -> Dict:
         guided = self.ccfg.use_guidance if guided is None else guided
         m = self._evaluate(
-            params, rng, jnp.asarray(test.data), jnp.asarray(test.state_phys), Q,
+            maybe_replicate(params), rng, maybe_shard(test.data),
+            maybe_shard(test.state_phys), Q,
             guided=guided,
         )
         return {k: float(v) for k, v in m.items()}
@@ -393,8 +396,8 @@ def run_inference(
                     rng, key = jax.random.split(rng)
                     params, opt_state, loss = backward_step(
                         params, opt_state, key,
-                        jnp.asarray(test_data.data[sl]),
-                        jnp.asarray(test_data.state_phys[sl]), Q,
+                        maybe_shard(test_data.data[sl]),
+                        maybe_shard(test_data.state_phys[sl]), Q,
                     )
                     losses.append(float(loss))
         else:
@@ -407,7 +410,7 @@ def run_inference(
                 rng, key = jax.random.split(rng)
                 params, opt_state, loss = weighted_step(
                     params, opt_state, key,
-                    jnp.asarray(train_data.data[sel]), jnp.asarray(w_train[sel]),
+                    maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
                 )
                 losses.append(float(loss))
 

@@ -124,3 +124,44 @@ def test_control_upsampling_shapes(masks):
     assert safe32.shape == (b, 32)
     assert rec.density.shape == (b, 256, S.CELLS, S.CELLS)
     assert bool(jnp.isfinite(smoke32).all())
+
+
+def test_rollout_mass_field(masks):
+    """RolloutRecord.mass tracks absorbed+in-domain total mass — the
+    reference's density_field_sum (2d/apps/a_gen_dataset_128.py:731-737)."""
+    dens = jnp.zeros((1, S.CELLS, S.CELLS)).at[:, 60:70, 20:30].set(1.0)
+    v0 = jnp.zeros((1, S.N, S.N, 2)).at[..., 1].set(0.8)
+    rec = S.smoke_rollout(
+        masks, dens, v0, jnp.zeros((1, 8, S.N, S.N, 2)), accuracy=1e-4,
+        max_iter=80,
+    )
+    assert rec.mass.shape == (1, 9)
+    np.testing.assert_allclose(float(rec.mass[0, 0]), 100.0, rtol=1e-5)
+    # semi-Lagrangian advection in the closed maze conserves mass to ~1%
+    ratio = float(rec.mass[0, -1] / rec.mass[0, 0])
+    assert 0.9 < ratio <= 1.01
+
+
+def test_generate_dataset_conservation_filter(tmp_path):
+    """The generator's conservation_min/max filter (reference min/max_sum_rate,
+    a_gen_dataset_128.py:733-741): loose bounds keep everything; an
+    impossible lower bound rejects every sim and errors out instead of
+    looping forever."""
+    from safediffcon_tpu.tasks.smoke.data import SmokeDataset, generate_smoke_dataset
+
+    path = str(tmp_path / "smoke.npz")
+    generate_smoke_dataset(
+        path, n_train=2, n_cal=1, n_test=1, n_frames=8, record_frames=4,
+        space_scale=4, gen_batch=4, accuracy=1e-3, max_iter=40,
+        conservation_min=0.2, conservation_max=2.0,
+    )
+    assert len(SmokeDataset.load(path, "train").data) == 2
+
+    # conservation_max=0 rejects every sim (mass ratio is non-negative):
+    # the generator must error out instead of regenerating forever
+    with pytest.raises(RuntimeError, match="conservation filter"):
+        generate_smoke_dataset(
+            str(tmp_path / "reject.npz"), n_train=2, n_cal=0, n_test=0,
+            n_frames=8, record_frames=4, space_scale=4, gen_batch=2,
+            accuracy=1e-3, max_iter=40, conservation_max=0.0,
+        )
