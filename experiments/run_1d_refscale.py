@@ -1,4 +1,4 @@
-"""Round-2 reference-scale 1D Burgers run: full 200k-step pretrain (the
+"""Reference-scale 1D Burgers run (round 3): full 200k-step pretrain (the
 reference's training length, 1D/configs/train_config.py:69-77) made
 affordable by chunked device-resident stepping, then post-training and
 InfFT at the reproduce hyperparameters (BASELINE.md):
@@ -82,6 +82,7 @@ tick(f"posttrain+InfFT eval: Q={float(Q3):.4f} {json.dumps(m2)}")
 results["infft_eval"], results["Q_infft"] = m2, float(Q3)
 
 print("SUMMARY", json.dumps(results))
-with open("/root/repo/experiments/validation_1d_refscale_round2.json", "w") as f:
+out = os.environ.get("B_OUT", "/root/repo/experiments/validation_1d_refscale_round3.json")
+with open(out, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
 tick("done")

@@ -1,4 +1,6 @@
-"""Round-2 reference-scale tokamak demonstration (VERDICT r1 item 5).
+"""Reference-scale tokamak demonstration (round 3: full-length pretrain,
+VERDICT r2 items 3+4 — the posttrain objective regression is re-diagnosed
+from a reference-length pretrain).
 
 Reference-scale dataset (48,950 train / 1,000 cal / 50 test closed-loop
 trajectories, matching tokamak/data/tokamak_dataset.py:11-16 split sizes),
@@ -37,7 +39,7 @@ from safediffcon_tpu.tasks.tokamak.config import (
 
 DATA = "/tmp/tok_ref.npz"
 CKPT_DIR = "/tmp/tok_ref_ckpt"
-PRETRAIN_STEPS = int(os.environ.get("TOK_PRETRAIN_STEPS", 20000))
+PRETRAIN_STEPS = int(os.environ.get("TOK_PRETRAIN_STEPS", 200_000))
 
 tick(f"devices: {jax.devices()}")
 if not os.path.exists(DATA):
@@ -51,14 +53,15 @@ data = {s: TokamakDataset.load(DATA, s) for s in ("train", "cal", "test")}
 tick(f"splits loaded: train={len(data['train'].data)} cal={len(data['cal'].data)} "
      f"test={len(data['test'].data)}")
 
-pre = TokamakPretrainConfig(dim=128, batch_size=32, checkpoint_every=5000,
+# checkpoint_every 25k: orbax saves of the dim-128 state block ~50 s each
+pre = TokamakPretrainConfig(dim=128, batch_size=32, checkpoint_every=25_000,
                             compute_dtype="bfloat16")
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=1000,
-                 checkpoint_dir=CKPT_DIR,
+                 checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
                  steps_per_call=50)  # amortize tunnel dispatch latency
 tick(f"pretrain {PRETRAIN_STEPS} steps done")
 
-results = {}
+results = {"pretrain_steps": PRETRAIN_STEPS}
 
 # --- post-training at reference hyperparameters ---
 pt_cfg = posttrain_config()
@@ -104,7 +107,7 @@ results["Q_finetune"] = float(Q_ft)
 
 print("SUMMARY", json.dumps(results))
 tag = os.environ.get("TOK_TAG", "")
-out = f"/root/repo/experiments/validation_tokamak_refscale{tag}_round2.json"
+out = f"/root/repo/experiments/validation_tokamak_refscale{tag}_round3.json"
 with open(out, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
 tick(f"done -> {out}")

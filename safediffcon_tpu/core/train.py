@@ -277,10 +277,25 @@ def run_train_loop(
     if device_pool and device_pool > 0:
         pool = min(int(device_pool), data.shape[0])
 
+        # Persistent host staging buffers: freed multi-GB numpy blocks are
+        # munmap'd, so a fresh gather per refresh would re-pay first-touch
+        # page-zeroing for ~14 GB every time (pathologically slow on
+        # VM hosts that lazily back anon memory). np.take(out=)/np.copyto
+        # into reused buffers pays it exactly once.
+        _stage = {}
+
         def draw_pool(salt):
+            import ml_dtypes
+
             ids = np.random.default_rng(seed + 7 + salt).choice(
                 data.shape[0], pool, replace=False)
-            return pmesh.maybe_shard(jnp.asarray(data[ids], jnp.bfloat16))
+            if not _stage:
+                _stage["f32"] = np.empty((pool,) + data.shape[1:], data.dtype)
+                _stage["bf16"] = np.empty(
+                    (pool,) + data.shape[1:], ml_dtypes.bfloat16)
+            np.take(np.asarray(data), ids, axis=0, out=_stage["f32"])
+            np.copyto(_stage["bf16"], _stage["f32"], casting="unsafe")
+            return pmesh.maybe_shard(_stage["bf16"])
 
         data_dev = draw_pool(start_step)
         if pool_refresh_every <= 0:
