@@ -120,3 +120,24 @@ def test_run_train_loop_device_pool():
     )
     assert int(out.step) == 7
     assert np.isfinite(np.asarray(out.params["w"])).all()
+
+
+def test_checkpoint_cadence_exact_multiples(tmp_path):
+    """Chunks are clamped at checkpoint cadence points so milestone step
+    numbers stay exact multiples even when checkpoint_every % k != 0
+    (ADVICE r2: sweeps expecting cadence multiples missed milestones)."""
+    import os
+
+    state, step_fn = _tiny_setup()
+    data = np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32)
+
+    run_train_loop(
+        step_fn, state, data,
+        batch_take=8, num_steps=10, rng=jax.random.PRNGKey(2),
+        steps_per_call=3,  # 3 does not divide checkpoint_every=4
+        checkpoint_every=4, checkpoint_dir=str(tmp_path),
+        log_every=10**9,
+    )
+    saved = sorted(int(d.split("-")[1]) for d in os.listdir(str(tmp_path))
+                   if d.startswith("ckpt-"))
+    assert saved == [4, 8, 10]  # exact multiples + the final step
