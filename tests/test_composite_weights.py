@@ -129,3 +129,4 @@ def test_tokamak_test_mode_composite(tokamak_batch):
         dataclasses.replace(ccfg, wo_post_train=True), state, target, Q
     )
     np.testing.assert_allclose(w0, base, rtol=1e-5)
+
