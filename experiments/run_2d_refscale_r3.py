@@ -128,7 +128,7 @@ conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
 pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25)
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
                            finetune_steps=PT_STEPS, finetune_batch_size=7,
-                           finetune_lr=1e-4)
+                           finetune_lr=1e-4, device_pool=2500)
 params, Q, hist = run_inference(cfg, pipe, state.ema_params,
                                 data["train"], data["cal"], data["test"])
 tick(f"posttrain done Q={float(Q):.5f}")

@@ -356,7 +356,7 @@ def run_train_loop(
         return np.concatenate(out) if len(out) > 1 else out[0]
 
     t0 = _time.time()
-    loss_acc, loss_n = 0.0, 0
+    pending_losses = []
     last_log = start_step
     last_ckpt = start_step
     last_pool = start_step
@@ -408,15 +408,19 @@ def run_train_loop(
                 ls.append(l)
             loss = jnp.stack(ls).mean()
         step += kk
-        loss_acc += float(loss) * kk
-        loss_n += kk
+        # keep losses as device futures — a float() here would block the
+        # host on every step and serialize dispatches over the (high
+        # latency) tunnel; sync only at log boundaries
+        pending_losses.append((loss, kk))
         if logger and step - last_log >= log_every:
+            tot = sum(float(l) * n_ for l, n_ in pending_losses)
+            cnt = sum(n_ for _, n_ in pending_losses)
+            pending_losses.clear()
             logger.info(
                 "%s step %d loss %.5f (%.1f steps/s)", log_prefix, step,
-                loss_acc / max(loss_n, 1),
+                tot / max(cnt, 1),
                 (step - start_step) / (_time.time() - t0),
             )
-            loss_acc, loss_n = 0.0, 0
             last_log = step
         if checkpoint_dir and step // checkpoint_every > last_ckpt // checkpoint_every:
             save_checkpoint(checkpoint_dir, state, step)

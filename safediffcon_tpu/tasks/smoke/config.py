@@ -64,6 +64,10 @@ class SmokeInferenceConfig:
     finetune_steps: int = 4000
     finetune_batch_size: int = 14
     seed: int = 42
+    # >0: pin that many train samples in HBM (bf16) per epoch and gather
+    # finetune batches on device — on a tunneled TPU, host-streamed
+    # (B, 32, 64, 64, 7) batches (~3.7 MB/sample) dominate step time
+    device_pool: int = 0
 
 
 def posttrain_config() -> SmokeInferenceConfig:

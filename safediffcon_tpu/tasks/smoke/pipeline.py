@@ -188,11 +188,37 @@ class SmokePipeline:
         # inverted-alpha rank convention (reference: 2d/inference_2d.py:150-165)
         return weighted_quantile(weights * scores, self.ccfg.alpha, "one_minus_alpha")
 
+    # per-dataset cache of the two statistics the weight formula needs —
+    # recomputing them per epoch would re-read (and on a tunneled TPU,
+    # re-ship) the full (N, 32, 64, 64, 7) train tensor every epoch
+    _stats_cache: dict = {}
+
     def reweights(self, data: SmokeDataset, Q, batch_size: int = 256) -> np.ndarray:
-        ws = []
-        for lo in range(0, len(data), batch_size):
-            ws.append(self._weights_batch(maybe_shard(data.data[lo : lo + batch_size]), Q))
-        return np.asarray(normalize_weights(jnp.concatenate(ws)))
+        """Per-sample train-shift weights exp(-ratio * guidance(x, Q)).
+
+        The guidance loss reduces each record to two statistics (mean smoke
+        rate over all frames, spatial-mean final-frame safe rate —
+        guidance_values above); those are computed ONCE per dataset on host
+        and the per-Q weight formula is evaluated from them, identical math
+        to shipping the full tensors through _weights_batch."""
+        key = id(data)
+        stats = SmokePipeline._stats_cache.get(key)
+        if stats is None:
+            from safediffcon_tpu.tasks.smoke.task import SAFE, SMOKE
+
+            x = data.data  # mean over strided views: no multi-GB copies
+            smoke_mean = (x[..., SMOKE].mean(axis=(1, 2, 3), dtype=np.float32)
+                          * np.float32(RESCALER[SMOKE]))
+            safe_final = (x[:, -1, :, :, SAFE].mean(axis=(1, 2), dtype=np.float32)
+                          * np.float32(RESCALER[SAFE]))
+            stats = (smoke_mean, safe_final)
+            SmokePipeline._stats_cache[key] = stats
+        smoke_mean, safe_final = stats
+        tc = self.task_cfg
+        g = -(1.0 - tc.w_safe) * smoke_mean + tc.w_safe * np.maximum(
+            safe_final + float(Q) - tc.safe_bound, 0.0)
+        w = jnp.exp(-tc.standard_fixed_ratio * jnp.asarray(g))
+        return np.asarray(normalize_weights(w))
 
     def evaluate(self, params, test: SmokeDataset, Q, rng, guided=None) -> Dict:
         guided = self.ccfg.use_guidance if guided is None else guided
@@ -337,6 +363,35 @@ def run_inference(
         return optax.apply_updates(params, updates), opt_state2, loss
 
     @jax.jit
+    def weighted_step_pool(params, opt_state, rng, idx, data_dev, w_dev):
+        # device-side gather from the HBM-resident bf16 pool: only the
+        # (B,) int32 index array crosses the host-device boundary per step
+        return weighted_step(params, opt_state, rng,
+                             data_dev[idx].astype(jnp.float32), w_dev[idx])
+
+    _pool_stage: dict = {}
+
+    def _draw_pool(salt, w_all):
+        # persistent staging buffers: see core/train.py draw_pool — fresh
+        # multi-GB gathers re-pay first-touch page zeroing on every call
+        import ml_dtypes
+
+        n = len(train_data)
+        pool = min(cfg.device_pool, n)
+        ids = np.random.default_rng(cfg.seed + 31 + salt).choice(
+            n, pool, replace=False)
+        if not _pool_stage:
+            shape = (pool,) + train_data.data.shape[1:]
+            _pool_stage["f32"] = np.empty(shape, np.float32)
+            _pool_stage["bf16"] = np.empty(shape, ml_dtypes.bfloat16)
+        np.take(np.asarray(train_data.data), ids, axis=0,
+                out=_pool_stage["f32"])
+        np.copyto(_pool_stage["bf16"], _pool_stage["f32"], casting="unsafe")
+        log.info("smoke finetune: pinned %d/%d samples (%.2f GB bf16) on device",
+                 pool, n, _pool_stage["bf16"].nbytes / 1e9)
+        return maybe_shard(_pool_stage["bf16"]), jnp.asarray(w_all[ids])
+
+    @jax.jit
     def backward_step(params, opt_state, rng, test_batch, Q):
         """InfFT: guided sample (no grad) -> resample conditioned on the
         generated control with final-step grads -> backward loss
@@ -381,16 +436,31 @@ def run_inference(
         else:
             w_train = pipeline.reweights(train_data, Q)
             n = len(train_data)
-            pos = 0
-            for _ in range(cfg.finetune_steps):
-                sel = np.arange(pos, pos + cfg.finetune_batch_size) % n
-                pos = (pos + cfg.finetune_batch_size) % n
-                rng, key = jax.random.split(rng)
-                params, opt_state, loss = weighted_step(
-                    params, opt_state, key,
-                    maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
-                )
-                losses.append(float(loss))
+            if cfg.device_pool:
+                # re-drawn per epoch (weights change with Q anyway), so all
+                # sims are eventually trained on
+                data_dev, w_dev = _draw_pool(epoch, w_train)
+                m = data_dev.shape[0]
+                pos = 0
+                for _ in range(cfg.finetune_steps):
+                    sel = np.arange(pos, pos + cfg.finetune_batch_size) % m
+                    pos = (pos + cfg.finetune_batch_size) % m
+                    rng, key = jax.random.split(rng)
+                    params, opt_state, loss = weighted_step_pool(
+                        params, opt_state, key,
+                        jnp.asarray(sel, jnp.int32), data_dev, w_dev)
+                    losses.append(float(loss))
+            else:
+                pos = 0
+                for _ in range(cfg.finetune_steps):
+                    sel = np.arange(pos, pos + cfg.finetune_batch_size) % n
+                    pos = (pos + cfg.finetune_batch_size) % n
+                    rng, key = jax.random.split(rng)
+                    params, opt_state, loss = weighted_step(
+                        params, opt_state, key,
+                        maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
+                    )
+                    losses.append(float(loss))
 
         rng, key = jax.random.split(rng)
         Q = pipeline.calibrate(params, cal_data, Q, key)

