@@ -432,7 +432,7 @@ def run_inference(
                         params, opt_state, key,
                         maybe_shard(test_data.data[sl]), Q
                     )
-                    losses.append(float(loss))
+                    losses.append(loss)  # device future; synced at epoch end
         else:
             w_train = pipeline.reweights(train_data, Q)
             n = len(train_data)
@@ -449,7 +449,7 @@ def run_inference(
                     params, opt_state, loss = weighted_step_pool(
                         params, opt_state, key,
                         jnp.asarray(sel, jnp.int32), data_dev, w_dev)
-                    losses.append(float(loss))
+                    losses.append(loss)  # device future; synced at epoch end
             else:
                 pos = 0
                 for _ in range(cfg.finetune_steps):
@@ -460,8 +460,9 @@ def run_inference(
                         params, opt_state, key,
                         maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
                     )
-                    losses.append(float(loss))
+                    losses.append(loss)  # device future; synced at epoch end
 
+        losses = [float(l) for l in losses]  # one sync per epoch
         rng, key = jax.random.split(rng)
         Q = pipeline.calibrate(params, cal_data, Q, key)
 
