@@ -129,8 +129,19 @@ pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25)
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
                            finetune_steps=PT_STEPS, finetune_batch_size=7,
                            finetune_lr=1e-4, device_pool=2500)
+results["posttrain_history"] = []
+
+
+def on_epoch(rec):
+    results["posttrain_history"].append(rec)
+    dump()
+    tick(f"posttrain epoch {rec['epoch']} Q={rec['quantile']:.5f} "
+         f"eval={rec['eval']}")
+
+
 params, Q, hist = run_inference(cfg, pipe, state.ema_params,
-                                data["train"], data["cal"], data["test"])
+                                data["train"], data["cal"], data["test"],
+                                on_epoch=on_epoch)
 tick(f"posttrain done Q={float(Q):.5f}")
 for h in hist:
     tick(f"  epoch {h['epoch']}: J_target={h['eval']['J_target']:.5f} "
@@ -154,8 +165,19 @@ pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
                        cal_chunk=25)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=BW_EPOCHS, finetune_steps=1)
+results["backward_history"] = []
+
+
+def on_epoch_b(rec):
+    results["backward_history"].append(rec)
+    dump()
+    tick(f"backward epoch {rec['epoch']} Q={rec['quantile']:.5f} "
+         f"eval={rec['eval']}")
+
+
 params_b, Q_b, hist_b = run_inference(bcfg, pipe_b, params, None,
-                                      data["cal"], data["test"])
+                                      data["cal"], data["test"],
+                                      on_epoch=on_epoch_b)
 tick(f"backward finetune done Q={float(Q_b):.5f}")
 results["backward_history"] = hist_b
 results["Q_backward"] = float(Q_b)

@@ -274,7 +274,7 @@ def run_train_loop(
             logger.info("%s: data-parallel over %d devices (batch %d)",
                         log_prefix, dp.devices.size, batch_take)
 
-    if device_pool and device_pool > 0:
+    if device_pool and device_pool > 0 and start_step < num_steps:
         pool = min(int(device_pool), data.shape[0])
 
         # Persistent host staging buffers: freed multi-GB numpy blocks are

@@ -334,9 +334,12 @@ def run_inference(
     train_data: Optional[SmokeDataset],
     cal_data: SmokeDataset,
     test_data: SmokeDataset,
+    on_epoch=None,
 ):
     """Reference run() loop (2d/inference_2d.py:286-368): per epoch
-    finetune -> conformal -> evaluate. Returns (params, Q, metrics)."""
+    finetune -> conformal -> evaluate. Returns (params, Q, metrics).
+    `on_epoch(epoch_record)` fires after each epoch (incremental result
+    persistence for long runs)."""
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
     apply_fn = pipeline.apply_fn
@@ -475,4 +478,6 @@ def run_inference(
             {"epoch": epoch, "quantile": float(Q),
              "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
         )
+        if on_epoch is not None:
+            on_epoch(all_metrics[-1])
     return params, Q, all_metrics
