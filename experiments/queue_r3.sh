@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3 chip-job queue: wait for the 2D refscale job (pid file re-read each
+# loop so restarts with a new pid keep the queue waiting), then run the
+# tokamak and 1D reference-scale demonstrations sequentially (one chip).
+set -u
+cd /root/repo
+# keep /root/.axon_site (registers the axon TPU backend) on the path
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+
+while true; do
+  pid=$(cat /tmp/smoke_refscale.pid 2>/dev/null || echo "")
+  if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
+    # require two consecutive misses 60s apart (restart window)
+    sleep 60
+    pid2=$(cat /tmp/smoke_refscale.pid 2>/dev/null || echo "")
+    if [ -z "$pid2" ] || ! kill -0 "$pid2" 2>/dev/null; then
+      break
+    fi
+  fi
+  sleep 60
+done
+
+echo "[queue] 2d job finished at $(date)" >> /tmp/queue_r3.log
+
+python experiments/run_tokamak_refscale.py > /tmp/tok_refscale_r3.log 2>&1
+echo "[queue] tokamak refscale exit=$? at $(date)" >> /tmp/queue_r3.log
+
+python experiments/run_1d_refscale.py > /tmp/b_refscale_r3.log 2>&1
+echo "[queue] 1d refscale exit=$? at $(date)" >> /tmp/queue_r3.log
