@@ -27,3 +27,9 @@ echo "[queue] tokamak refscale exit=$? at $(date)" >> /tmp/queue_r3.log
 
 python experiments/run_1d_refscale.py > /tmp/b_refscale_r3.log 2>&1
 echo "[queue] 1d refscale exit=$? at $(date)" >> /tmp/queue_r3.log
+
+# perf pass (VERDICT r2 item 6): decompose the guided step, then bench
+python experiments/profile_sampler_breakdown.py > /tmp/breakdown_r3.log 2>&1
+echo "[queue] breakdown exit=$? at $(date)" >> /tmp/queue_r3.log
+python bench.py > /tmp/bench_r3.log 2>&1
+echo "[queue] bench exit=$? at $(date)" >> /tmp/queue_r3.log
