@@ -118,10 +118,15 @@ def test_end_to_end_tiny(tiny_data, tiny_pipeline):
         conformal=_tiny_conf(), finetune_epoch=1, finetune_steps=2,
         finetune_batch_size=3,
     )
+    epoch_records = []
     params, Q, metrics = run_inference(
         inf_cfg, tiny_pipeline, state.ema_params,
         tiny_data["train"], tiny_data["cal"], tiny_data["test"],
+        on_epoch=epoch_records.append,
     )
+    # incremental-persistence callback fires once per epoch with the record
+    assert [r["epoch"] for r in epoch_records] == [m["epoch"] for m in metrics]
+    assert epoch_records[-1] is metrics[-1]
     assert np.isfinite(metrics[-1]["eval"]["J_target"])
     assert np.isfinite(metrics[-1]["eval"]["mse"])
     assert np.isfinite(float(Q))
