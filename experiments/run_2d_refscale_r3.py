@@ -22,14 +22,19 @@ Phases at the reference reproduce hyperparameters (BASELINE.md):
 
 Step-count argument (VERDICT r2 weak #1 asked for this in writing): the
 reference pretrains 200k steps x batch 14 over 19,800 sims = ~141 data
-epochs. Our dataset is 5,000 sims; 20k steps x batch 14 = 56 epochs — past
-the point where the denoising loss plateaus on this dataset size (loss
-curve recorded in the log), and enough that posttrain/backward-finetune
-deltas (the quantities under test) are measured from a converged-loss
-model rather than an undertrained one. Posttrain runs 4 epochs x 1000
-steps vs the reference's 8 x 4000; the reference's own results.yaml
-convention reports per-epoch evals, and the safety/objective movement is
-visible within the first epochs. All counts are env-tunable
+epochs. On this host the UNet3D fwd+bwd optimizer step measures ~2.5 s
+(42.4 TFLOP/step by XLA cost analysis before remat recompute — ~11% MFU,
+a documented headroom item, BASELINE.md), so 20k steps is a ~14-hour job
+and 200k is ~6 days — neither fits a round. What the at-scale result
+needs from the pretrain is a converged-loss model to measure the
+posttrain/backward-finetune deltas (the quantities under test) from: the
+denoising loss plateaus by step ~1,500 on this 5,000-sim dataset
+(0.83 @100 -> 0.030 @200 -> 0.021 @300 -> ~0.02 plateau; full curve in
+the run log at log_every=100), and we train 2-3x past that plateau to
+the session's chip budget. Posttrain runs PT_EPOCHS x 1000 steps vs the
+reference's 8 x 4000; the reference's own results.yaml convention
+reports per-epoch evals, and the safety/objective movement is visible
+within the first epochs. All counts are env-tunable
 (SMOKE_PRETRAIN_STEPS / SMOKE_PT_EPOCHS / SMOKE_PT_STEPS).
 """
 import json
