@@ -25,11 +25,19 @@ echo "[queue] 2d job finished at $(date)" >> /tmp/queue_r3.log
 python experiments/run_tokamak_refscale.py > /tmp/tok_refscale_r3.log 2>&1
 echo "[queue] tokamak refscale exit=$? at $(date)" >> /tmp/queue_r3.log
 
-python experiments/run_1d_refscale.py > /tmp/b_refscale_r3.log 2>&1
-echo "[queue] 1d refscale exit=$? at $(date)" >> /tmp/queue_r3.log
-
-# perf pass (VERDICT r2 item 6): decompose the guided step, then bench
+# perf pass (VERDICT r2 item 6) runs BEFORE the long 1D pretrain: the
+# breakdown + bench artifacts are required; the 1D run is the time-filler
+# (checkpointed every 50k, resumable next round if the session ends first)
 python experiments/profile_sampler_breakdown.py > /tmp/breakdown_r3.log 2>&1
 echo "[queue] breakdown exit=$? at $(date)" >> /tmp/queue_r3.log
 python bench.py > /tmp/bench_r3.log 2>&1
 echo "[queue] bench exit=$? at $(date)" >> /tmp/queue_r3.log
+python experiments/bench_pipeline.py > /tmp/bench_pipe_r3.log 2>&1
+echo "[queue] bench_pipeline exit=$? at $(date)" >> /tmp/queue_r3.log
+
+# 100k (2x round-2's 50k): the round's chip budget went to the 2D
+# headline (VERDICT r2 item 1); 150k more 1D steps at ~16 steps/s would
+# not fit behind it. LR cosine T_max=1e4 means steps past ~10k cycle the
+# same schedule; quality at 50k was already paper-scale (J 0.0134).
+B_PRETRAIN_STEPS=100000 python experiments/run_1d_refscale.py > /tmp/b_refscale_r3.log 2>&1
+echo "[queue] 1d refscale exit=$? at $(date)" >> /tmp/queue_r3.log
