@@ -327,19 +327,14 @@ def pretrain(
 # Unified inference pipeline (posttrain or backward finetune)
 # ---------------------------------------------------------------------------
 
-def run_inference(
-    cfg: SmokeInferenceConfig,
-    pipeline: SmokePipeline,
-    params,
-    train_data: Optional[SmokeDataset],
-    cal_data: SmokeDataset,
-    test_data: SmokeDataset,
-    on_epoch=None,
-):
-    """Reference run() loop (2d/inference_2d.py:286-368): per epoch
-    finetune -> conformal -> evaluate. Returns (params, Q, metrics).
-    `on_epoch(epoch_record)` fires after each epoch (incremental result
-    persistence for long runs)."""
+def make_finetune_steps(cfg: SmokeInferenceConfig, pipeline: SmokePipeline):
+    """Build the jitted finetune step functions used by `run_inference`.
+
+    Module-level so the exact production programs can be AOT-compiled
+    (``jit(...).lower(shapes).compile()``) ahead of a long run — the
+    persistent compilation cache then makes the run's first call free.
+    Returns ``(tx, weighted_step, weighted_step_pool, backward_step)``.
+    """
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
     apply_fn = pipeline.apply_fn
@@ -349,7 +344,6 @@ def run_inference(
     cond_train = train_conditioner()
 
     tx = make_optimizer("adam", cfg.finetune_lr, betas=(0.9, 0.99), max_grad_norm=0.0)
-    opt_state = tx.init(params)
 
     @jax.jit
     def weighted_step(params, opt_state, rng, batch, w):
@@ -371,28 +365,6 @@ def run_inference(
         # (B,) int32 index array crosses the host-device boundary per step
         return weighted_step(params, opt_state, rng,
                              data_dev[idx].astype(jnp.float32), w_dev[idx])
-
-    _pool_stage: dict = {}
-
-    def _draw_pool(salt, w_all):
-        # persistent staging buffers: see core/train.py draw_pool — fresh
-        # multi-GB gathers re-pay first-touch page zeroing on every call
-        import ml_dtypes
-
-        n = len(train_data)
-        pool = min(cfg.device_pool, n)
-        ids = np.random.default_rng(cfg.seed + 31 + salt).choice(
-            n, pool, replace=False)
-        if not _pool_stage:
-            shape = (pool,) + train_data.data.shape[1:]
-            _pool_stage["f32"] = np.empty(shape, np.float32)
-            _pool_stage["bf16"] = np.empty(shape, ml_dtypes.bfloat16)
-        np.take(np.asarray(train_data.data), ids, axis=0,
-                out=_pool_stage["f32"])
-        np.copyto(_pool_stage["bf16"], _pool_stage["f32"], casting="unsafe")
-        log.info("smoke finetune: pinned %d/%d samples (%.2f GB bf16) on device",
-                 pool, n, _pool_stage["bf16"].nbytes / 1e9)
-        return maybe_shard(_pool_stage["bf16"]), jnp.asarray(w_all[ids])
 
     @jax.jit
     def backward_step(params, opt_state, rng, test_batch, Q):
@@ -420,6 +392,49 @@ def run_inference(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
+
+    return tx, weighted_step, weighted_step_pool, backward_step
+
+
+def run_inference(
+    cfg: SmokeInferenceConfig,
+    pipeline: SmokePipeline,
+    params,
+    train_data: Optional[SmokeDataset],
+    cal_data: SmokeDataset,
+    test_data: SmokeDataset,
+    on_epoch=None,
+):
+    """Reference run() loop (2d/inference_2d.py:286-368): per epoch
+    finetune -> conformal -> evaluate. Returns (params, Q, metrics).
+    `on_epoch(epoch_record)` fires after each epoch (incremental result
+    persistence for long runs)."""
+    ccfg = cfg.conformal
+    tx, weighted_step, weighted_step_pool, backward_step = make_finetune_steps(
+        cfg, pipeline)
+    opt_state = tx.init(params)
+
+    _pool_stage: dict = {}
+
+    def _draw_pool(salt, w_all):
+        # persistent staging buffers: see core/train.py draw_pool — fresh
+        # multi-GB gathers re-pay first-touch page zeroing on every call
+        import ml_dtypes
+
+        n = len(train_data)
+        pool = min(cfg.device_pool, n)
+        ids = np.random.default_rng(cfg.seed + 31 + salt).choice(
+            n, pool, replace=False)
+        if not _pool_stage:
+            shape = (pool,) + train_data.data.shape[1:]
+            _pool_stage["f32"] = np.empty(shape, np.float32)
+            _pool_stage["bf16"] = np.empty(shape, ml_dtypes.bfloat16)
+        np.take(np.asarray(train_data.data), ids, axis=0,
+                out=_pool_stage["f32"])
+        np.copyto(_pool_stage["bf16"], _pool_stage["f32"], casting="unsafe")
+        log.info("smoke finetune: pinned %d/%d samples (%.2f GB bf16) on device",
+                 pool, n, _pool_stage["bf16"].nbytes / 1e9)
+        return maybe_shard(_pool_stage["bf16"]), jnp.asarray(w_all[ids])
 
     rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
