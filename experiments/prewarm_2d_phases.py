@@ -40,7 +40,10 @@ REC = (32, 64, 64, 7)
 POOL = 2500
 BATCH = 7
 CAL_CHUNK = 25
-TEST_N = 50
+# eval is chunked (SmokePipeline.eval_chunk): the whole-test-set program
+# needs 24 GB HBM (the 64^2 temporal attention materializes f32 scores) on
+# a 15.75 GB chip — measured by this script's own AOT compile in round 3
+EVAL_CHUNK = 10
 
 tick(f"devices: {jax.devices()}")
 
@@ -48,7 +51,8 @@ tick(f"devices: {jax.devices()}")
 conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                             w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
                             ddim_sampling_steps=100, test_batch_size=25)
-pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25)
+pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25,
+                     eval_chunk=EVAL_CHUNK)
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=3,
                            finetune_steps=1000, finetune_batch_size=7,
                            finetune_lr=1e-4, device_pool=POOL)
@@ -58,7 +62,7 @@ bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
                              ddim_sampling_steps=100, use_guidance=False,
                              test_batch_size=25)
 pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
-                       cal_chunk=25)
+                       cal_chunk=25, eval_chunk=EVAL_CHUNK)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=2, finetune_steps=1)
 
@@ -84,13 +88,13 @@ warm("weighted_step_pool(7 of 2500)", w_step_pool,
      S((POOL,) + REC, jnp.bfloat16), S((POOL,), jnp.float32))
 warm("posttrain cal_batch(25)", pipe._cal_batch,
      params_s, key_s, S((CAL_CHUNK,) + REC, jnp.float32), q_s)
-warm("posttrain evaluate(50, guided)", pipe._evaluate,
-     params_s, key_s, S((TEST_N,) + REC, jnp.float32), q_s, guided=True)
+warm(f"posttrain evaluate({EVAL_CHUNK}, guided)", pipe._evaluate,
+     params_s, key_s, S((EVAL_CHUNK,) + REC, jnp.float32), q_s, guided=True)
 warm("backward_step(25)", b_step,
      params_s, opt_s, key_s, S((25,) + REC, jnp.float32), q_s)
 warm("backward cal_batch(25)", pipe_b._cal_batch,
      params_s, key_s, S((CAL_CHUNK,) + REC, jnp.float32), q_s)
-warm("backward evaluate(50, unguided)", pipe_b._evaluate,
-     params_s, key_s, S((TEST_N,) + REC, jnp.float32), q_s, guided=False)
+warm(f"backward evaluate({EVAL_CHUNK}, unguided)", pipe_b._evaluate,
+     params_s, key_s, S((EVAL_CHUNK,) + REC, jnp.float32), q_s, guided=False)
 
 tick("all phase programs prewarmed")

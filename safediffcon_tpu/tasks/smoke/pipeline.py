@@ -82,9 +82,16 @@ class SmokePipeline:
         solver_backend: str = "auto",  # "auto" -> pallas on TPU, xla on CPU
         finetune_set: str = "train",
         cal_chunk: int = 50,
+        eval_chunk: Optional[int] = None,
     ):
         self.ccfg = conf_cfg
         self.cal_chunk = cal_chunk  # chip-efficient calibration sub-batching
+        # evaluation sub-batching: the fused sample->solve->metrics program's
+        # HBM footprint scales with batch (the 64^2-resolution temporal
+        # attention materializes (B*HW, heads, T, T) f32 scores — 24 GB at
+        # B=50 on a 15.75 GB chip, measured via AOT compile); chunking the
+        # test set keeps the program resident. None = whole test set at once.
+        self.eval_chunk = eval_chunk
         self.task_cfg = SmokeTaskConfig(
             safe_bound=conf_cfg.safe_bound,
             w_safe=conf_cfg.w_safe,
@@ -222,9 +229,23 @@ class SmokePipeline:
 
     def evaluate(self, params, test: SmokeDataset, Q, rng, guided=None) -> Dict:
         guided = self.ccfg.use_guidance if guided is None else guided
-        m = self._evaluate(maybe_replicate(params), rng, maybe_shard(test.raw),
-                           Q, guided=guided)
-        return {k: float(v) for k, v in m.items()}
+        n = len(test.raw)
+        chunk = min(self.eval_chunk or n, n)
+        p_rep = maybe_replicate(params)
+        # every metric in evaluate_samples is a per-sample (or per-sample
+        # x per-frame, with equal frame counts) mean, so the length-weighted
+        # mean over chunks reproduces the whole-batch value exactly
+        totals: Dict[str, float] = {}
+        seen = 0
+        for lo in range(0, n, chunk):
+            rng, key = jax.random.split(rng)
+            raw = np.asarray(test.raw[lo : lo + chunk])
+            m = self._evaluate(p_rep, key, maybe_shard(raw), Q, guided=guided)
+            k = raw.shape[0]
+            for name, v in m.items():
+                totals[name] = totals.get(name, 0.0) + float(v) * k
+            seen += k
+        return {name: v / seen for name, v in totals.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -404,11 +425,14 @@ def run_inference(
     cal_data: SmokeDataset,
     test_data: SmokeDataset,
     on_epoch=None,
+    deadline: Optional[float] = None,
 ):
     """Reference run() loop (2d/inference_2d.py:286-368): per epoch
     finetune -> conformal -> evaluate. Returns (params, Q, metrics).
     `on_epoch(epoch_record)` fires after each epoch (incremental result
-    persistence for long runs)."""
+    persistence for long runs). `deadline` (time.time() epoch seconds)
+    stops starting new epochs once passed — completed epochs are returned."""
+    import time as _time
     ccfg = cfg.conformal
     tx, weighted_step, weighted_step_pool, backward_step = make_finetune_steps(
         cfg, pipeline)
@@ -440,6 +464,10 @@ def run_inference(
     Q = jnp.zeros(())
     all_metrics = []
     for epoch in range(cfg.finetune_epoch):
+        if deadline is not None and _time.time() > deadline:
+            log.info("smoke finetune: deadline reached before epoch %d, "
+                     "returning %d completed epochs", epoch, len(all_metrics))
+            break
         losses = []
         if cfg.backward_finetune:
             for lo in range(0, len(test_data), ccfg.test_batch_size):
@@ -468,6 +496,10 @@ def run_inference(
                         params, opt_state, key,
                         jnp.asarray(sel, jnp.int32), data_dev, w_dev)
                     losses.append(loss)  # device future; synced at epoch end
+                # free the multi-GB HBM pool before the sampling-heavy
+                # calibrate/evaluate phases (it is re-drawn next epoch
+                # anyway; keeping it resident puts eval at OOM risk)
+                data_dev = w_dev = None
             else:
                 pos = 0
                 for _ in range(cfg.finetune_steps):
