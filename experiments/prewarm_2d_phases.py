@@ -57,12 +57,15 @@ cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=3,
                            finetune_steps=1000, finetune_batch_size=7,
                            finetune_lr=1e-4, device_pool=POOL)
 
+# finetune.sh: cal 40x1 (NOT the posttrain 50x4); backward batch is memory
+# bound — the step needs ~1.6 GB/sample (39.9 GB at B=25, AOT-measured)
+BW_BATCH = 5
 bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
-                             w_safe=1.0, cal_batch_size=50, num_cal_batch=4,
+                             w_safe=1.0, cal_batch_size=40, num_cal_batch=1,
                              ddim_sampling_steps=100, use_guidance=False,
-                             test_batch_size=25)
+                             test_batch_size=BW_BATCH)
 pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
-                       cal_chunk=25, eval_chunk=EVAL_CHUNK)
+                       cal_chunk=20, eval_chunk=EVAL_CHUNK)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=2, finetune_steps=1)
 
@@ -78,8 +81,13 @@ opt_s = jax.eval_shape(tx.init, params_s)
 
 def warm(name, jitted, *args, **kw):
     t = time.time()
-    jitted.lower(*args, **kw).compile()
+    try:
+        jitted.lower(*args, **kw).compile()
+    except Exception as e:  # keep warming the rest (e.g. HBM-OOM probe shapes)
+        tick(f"{name}: FAILED after {time.time()-t:.0f}s: {str(e)[:200]}")
+        return False
     tick(f"{name}: compiled in {time.time()-t:.0f}s")
+    return True
 
 
 # use-order of the relaunched run
@@ -90,10 +98,10 @@ warm("posttrain cal_batch(25)", pipe._cal_batch,
      params_s, key_s, S((CAL_CHUNK,) + REC, jnp.float32), q_s)
 warm(f"posttrain evaluate({EVAL_CHUNK}, guided)", pipe._evaluate,
      params_s, key_s, S((EVAL_CHUNK,) + REC, jnp.float32), q_s, guided=True)
-warm("backward_step(25)", b_step,
-     params_s, opt_s, key_s, S((25,) + REC, jnp.float32), q_s)
-warm("backward cal_batch(25)", pipe_b._cal_batch,
-     params_s, key_s, S((CAL_CHUNK,) + REC, jnp.float32), q_s)
+warm(f"backward_step({BW_BATCH})", b_step,
+     params_s, opt_s, key_s, S((BW_BATCH,) + REC, jnp.float32), q_s)
+warm("backward cal_batch(20)", pipe_b._cal_batch,
+     params_s, key_s, S((20,) + REC, jnp.float32), q_s)
 warm(f"backward evaluate({EVAL_CHUNK}, unguided)", pipe_b._evaluate,
      params_s, key_s, S((EVAL_CHUNK,) + REC, jnp.float32), q_s, guided=False)
 

@@ -171,13 +171,17 @@ if os.environ.get("SMOKE_DO_BACKWARD", "1") != "1":
     tick("done (backward phase skipped via SMOKE_DO_BACKWARD=0)")
     raise SystemExit(0)
 
-# --- backward finetune (finetune.sh: alpha .01, ratio 495, w_safe 1) ---
+# --- backward finetune (finetune.sh: alpha .01, ratio 495, w_safe 1,
+# cal 40x1, test_backward_batch_size 13 on the reference's GPU; here the
+# backward step's AOT footprint measures ~1.6 GB/sample (39.9 GB at B=25),
+# so batch 5 keeps the program inside the 15.75 GB chip) ---
+BW_BATCH = int(os.environ.get("SMOKE_BW_BATCH", 5))
 bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
-                             w_safe=1.0, cal_batch_size=50, num_cal_batch=4,
+                             w_safe=1.0, cal_batch_size=40, num_cal_batch=1,
                              ddim_sampling_steps=100, use_guidance=False,
-                             test_batch_size=25)
+                             test_batch_size=BW_BATCH)
 pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
-                       cal_chunk=25, eval_chunk=10)
+                       cal_chunk=20, eval_chunk=10)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=BW_EPOCHS, finetune_steps=1)
 results["backward_history"] = []
