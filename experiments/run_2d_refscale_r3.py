@@ -46,6 +46,7 @@ import zipfile
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 logging.basicConfig(level=logging.INFO)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -141,6 +142,17 @@ conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                             w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
                             ddim_sampling_steps=100, test_batch_size=25)
 pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25, eval_chunk=10)
+
+# Unguided baseline eval of the pretrained model: the natural "before" row
+# (plain diffusion, no safety guidance, no Q needed so no 200-sample
+# calibration pass — affordable inside the chip-time budget). The
+# posttrain/backward epoch evals below measure their deltas against this.
+if os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1":
+    base_eval = pipe.evaluate(state.ema_params, data["test"], jnp.zeros(()),
+                              jax.random.PRNGKey(1234), guided=False)
+    results["baseline_eval_unguided"] = {k: float(v) for k, v in base_eval.items()}
+    dump()
+    tick(f"baseline (pretrain, unguided) eval: {results['baseline_eval_unguided']}")
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
                            finetune_steps=PT_STEPS, finetune_batch_size=7,
                            finetune_lr=1e-4, device_pool=2500)

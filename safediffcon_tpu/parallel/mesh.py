@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 DATA_AXIS = "data"
+FRAME_AXIS = "frames"
 
 # Process-wide active mesh. Production entry points (CLI, pipelines) go
 # data-parallel automatically when one is active: batches are sharded over
@@ -82,6 +83,44 @@ def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def get_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D (data, frames) mesh: DP over the batch axis x sequence
+    parallelism over the video frame axis of the 3D U-Net.
+
+    The reference has no sequence parallelism anywhere (SURVEY §2.5) — its
+    longest sequence is 32 frames of full temporal attention. For the
+    scaled 2D config (native 128², longer horizons) the frame axis of the
+    UNet3D activations is the memory axis worth splitting: activations at
+    (B, F, 128, 128, C) dominate HBM, and F survives every down/upsample
+    (spatial-only strides, models/unet3d.py). Sharding is pure annotation —
+    XLA's SPMD partitioner inserts halo exchanges for the (3,3,3) temporal
+    convs and the all-gather for full temporal attention over ICI; no
+    hand-written collectives (scaling-book recipe: pick a mesh, annotate,
+    let XLA insert collectives).
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    arr = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(arr, (DATA_AXIS, FRAME_AXIS))
+
+
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, F, H, W, C) video batch: B over 'data', F over 'frames'.
+
+    On a 1-D data mesh this degrades to plain batch sharding (no frame
+    axis in the mesh)."""
+    if FRAME_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_video(batch, mesh: Mesh):
+    """Place a host (B, F, ...) array onto the mesh with batch + frame
+    axes sharded (frame axis only if the mesh has one)."""
+    return jax.device_put(batch, video_sharding(mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
