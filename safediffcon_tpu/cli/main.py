@@ -73,6 +73,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-test", type=int, default=None, help="generate-data: test size")
     p.add_argument("--no-dp", action="store_true",
                    help="disable automatic data parallelism over multiple devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel devices on the video frame axis "
+                        "(smoke/UNet3D): builds a 2-D (data, frames) mesh "
+                        "with device_count//sp x sp devices")
     p.add_argument("--resume", action="store_true",
                    help="pretrain: resume from the latest checkpoint in --out")
     p.add_argument("--steps-per-call", type=int, default=None,
@@ -432,9 +436,10 @@ def main(argv=None) -> int:
         from safediffcon_tpu.parallel.mesh import auto_mesh, init_distributed
 
         init_distributed()
-        mesh = auto_mesh()
+        mesh = auto_mesh(sp=args.sp)
         if mesh is not None:
-            logging.info("data-parallel mesh active over %d devices",
+            logging.info("%s mesh active over %d devices",
+                         "x".join(f"{mesh.shape[a]} {a}" for a in mesh.axis_names),
                          mesh.devices.size)
     _register_run(args.out, args)
     return TASKS[args.task](args)

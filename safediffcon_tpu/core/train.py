@@ -229,6 +229,7 @@ def run_train_loop(
     log_prefix: str = "pretrain",
     device_pool: int = 0,
     pool_refresh_every: int = 0,
+    shard_video: bool = False,
 ):
     """Shared epoch-less training loop used by all three task pretrains.
 
@@ -295,7 +296,7 @@ def run_train_loop(
                     (pool,) + data.shape[1:], ml_dtypes.bfloat16)
             np.take(np.asarray(data), ids, axis=0, out=_stage["f32"])
             np.copyto(_stage["bf16"], _stage["f32"], casting="unsafe")
-            return pmesh.maybe_shard(_stage["bf16"])
+            return pmesh.maybe_shard(_stage["bf16"], video=shard_video)
 
         data_dev = draw_pool(start_step)
         if pool_refresh_every <= 0:
@@ -395,7 +396,8 @@ def run_train_loop(
             batch = np.asarray(data[sel])
             if k > 1:
                 batch = batch.reshape(k, batch_take, *batch.shape[1:])
-            state, loss = multi(state, key, pmesh.maybe_shard(batch, axis=1 if k > 1 else 0))
+            state, loss = multi(state, key, pmesh.maybe_shard(
+                batch, axis=1 if k > 1 else 0, video=shard_video))
         else:  # final partial chunk: single steps
             batch = jnp.asarray(data[sel])
             if tail_fn is None:

@@ -39,33 +39,56 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
-def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
-    """Activate a 1-axis data mesh over all devices when more than one is
+def auto_mesh(min_devices: int = 2, sp: int = 1) -> Optional[Mesh]:
+    """Activate a data mesh over all devices when more than one is
     available (the CLI calls this so `pretrain`/`calibrate`/`evaluate` are
-    data-parallel on a multi-chip host with no code changes)."""
-    if jax.device_count() >= min_devices:
-        mesh = get_mesh()
+    data-parallel on a multi-chip host with no code changes).
+
+    sp > 1 activates a 2-D (data, frames) mesh with that many devices on
+    the frame axis — sequence parallelism for the UNet3D's video frame
+    dimension (CLI: `--sp N`). Devices not filling dp*sp stay idle."""
+    n = jax.device_count()
+    if n >= min_devices:
+        if sp > 1:
+            mesh = get_mesh_2d(max(1, n // sp), sp)
+        else:
+            mesh = get_mesh()
         activate_mesh(mesh)
         return mesh
     return None
 
 
-def maybe_shard(x, axis: int = 0, mesh: Optional[Mesh] = None):
-    """Device-put `x` with its `axis` sharded over the active mesh.
+def maybe_shard(x, axis: int = 0, mesh: Optional[Mesh] = None,
+                video: bool = False):
+    """Device-put `x` with its `axis` sharded over the active mesh's data
+    axis.
 
     Falls back to a plain (unsharded) jnp array when no mesh is active or
-    the axis length is not divisible by the mesh size — per-sample exactness
-    is preserved either way, sharding is purely a placement optimization.
+    the axis length is not divisible by the data-axis size — per-sample
+    exactness is preserved either way, sharding is purely a placement
+    optimization.
+
+    video=True additionally shards the axis AFTER `axis` (the video frame
+    axis of (B, F, H, W, C) batches) over a 2-D mesh's 'frames' axis when
+    present and divisible — the smoke pipeline passes this so its UNet3D
+    batches go DPxSP under a `--sp` mesh. On a 1-D mesh it is a no-op.
     """
     import jax.numpy as jnp
 
     mesh = mesh if mesh is not None else _ACTIVE_MESH
     if mesh is None or mesh.devices.size <= 1:
         return jnp.asarray(x)
-    if x.shape[axis] % mesh.devices.size != 0:
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    spec = [None] * x.ndim
+    if dp > 1 and x.shape[axis] % dp == 0:
+        spec[axis] = DATA_AXIS
+    if video and FRAME_AXIS in mesh.axis_names:
+        sp_size = mesh.shape[FRAME_AXIS]
+        if x.ndim > axis + 1 and x.shape[axis + 1] % sp_size == 0:
+            spec[axis + 1] = FRAME_AXIS
+    if not any(spec):
         return jnp.asarray(x)
-    spec = P(*([None] * axis), DATA_AXIS)
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(*spec)))
 
 
 def maybe_replicate(tree, mesh: Optional[Mesh] = None):

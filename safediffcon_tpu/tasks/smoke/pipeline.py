@@ -187,7 +187,7 @@ class SmokePipeline:
                 sl = slice(i * bs + lo, i * bs + lo + chunk)
                 rng, key = jax.random.split(rng)
                 s, w = self._cal_batch(maybe_replicate(params), key,
-                                   maybe_shard(cal.data[sl]), Q)
+                                   maybe_shard(cal.data[sl], video=True), Q)
                 scores.append(s)
                 weights.append(w)
         scores = jnp.concatenate(scores)
@@ -240,7 +240,7 @@ class SmokePipeline:
         for lo in range(0, n, chunk):
             rng, key = jax.random.split(rng)
             raw = np.asarray(test.raw[lo : lo + chunk])
-            m = self._evaluate(p_rep, key, maybe_shard(raw), Q, guided=guided)
+            m = self._evaluate(p_rep, key, maybe_shard(raw, video=True), Q, guided=guided)
             k = raw.shape[0]
             for name, v in m.items():
                 totals[name] = totals.get(name, 0.0) + float(v) * k
@@ -341,6 +341,7 @@ def pretrain(
         log_every=log_every, checkpoint_every=cfg.checkpoint_every,
         checkpoint_dir=checkpoint_dir, logger=log, log_prefix="smoke pretrain",
         device_pool=device_pool, pool_refresh_every=pool_refresh_every,
+        shard_video=True,
     )
 
 
@@ -458,7 +459,7 @@ def run_inference(
         np.copyto(_pool_stage["bf16"], _pool_stage["f32"], casting="unsafe")
         log.info("smoke finetune: pinned %d/%d samples (%.2f GB bf16) on device",
                  pool, n, _pool_stage["bf16"].nbytes / 1e9)
-        return maybe_shard(_pool_stage["bf16"]), jnp.asarray(w_all[ids])
+        return maybe_shard(_pool_stage["bf16"], video=True), jnp.asarray(w_all[ids])
 
     rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
@@ -476,7 +477,7 @@ def run_inference(
                     rng, key = jax.random.split(rng)
                     params, opt_state, loss = backward_step(
                         params, opt_state, key,
-                        maybe_shard(test_data.data[sl]), Q
+                        maybe_shard(test_data.data[sl], video=True), Q
                     )
                     losses.append(loss)  # device future; synced at epoch end
         else:
@@ -508,7 +509,7 @@ def run_inference(
                     rng, key = jax.random.split(rng)
                     params, opt_state, loss = weighted_step(
                         params, opt_state, key,
-                        maybe_shard(train_data.data[sel]), maybe_shard(w_train[sel]),
+                        maybe_shard(train_data.data[sel], video=True), maybe_shard(w_train[sel]),
                     )
                     losses.append(loss)  # device future; synced at epoch end
 

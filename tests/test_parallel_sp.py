@@ -18,7 +18,10 @@ import pytest
 from safediffcon_tpu.models.unet3d import UNet3D
 from safediffcon_tpu.parallel.mesh import (
     FRAME_AXIS,
+    activate_mesh,
+    auto_mesh,
     get_mesh_2d,
+    maybe_shard,
     replicate,
     shard_video,
     video_sharding,
@@ -94,3 +97,71 @@ def test_sp_only_mesh_odd_frames_divisible(tiny):
     ref = jax.jit(model.apply)(params, x, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_auto_mesh_sp_and_maybe_shard_video():
+    """Production wiring: auto_mesh(sp=2) activates a (data, frames) mesh
+    and maybe_shard(video=True) shards (B, F, ...) batches over both axes
+    (the smoke pipeline's placement path under `--sp`); non-video calls and
+    frame-indivisible shapes degrade to data-axis-only sharding."""
+    mesh = auto_mesh(sp=2)
+    try:
+        assert mesh is not None and mesh.axis_names == ("data", FRAME_AXIS)
+        dp = mesh.shape["data"]
+        x = np.zeros((2 * dp, 4, 5, 5, 3), np.float32)
+        xs = maybe_shard(x, video=True)
+        assert xs.sharding.shard_shape(xs.shape) == (2, 2, 5, 5, 3)
+        # non-video: frame axis left unsharded
+        xp = maybe_shard(x)
+        assert xp.sharding.shard_shape(xp.shape) == (2, 4, 5, 5, 3)
+        # frame axis not divisible by sp: only the batch axis shards
+        y = np.zeros((2 * dp, 3, 5, 3), np.float32)
+        ys = maybe_shard(y, video=True)
+        assert ys.sharding.shard_shape(ys.shape) == (2, 3, 5, 3)
+    finally:
+        activate_mesh(None)
+
+
+def test_train_loop_sp_video_matches_unsharded():
+    """run_train_loop(shard_video=True) under a 2-D mesh reproduces the
+    unsharded result exactly (toy channel-mixing denoiser over (B, F, C)
+    batches — the sharded axes are pure placement)."""
+    from safediffcon_tpu.core.train import (
+        TrainState, make_optimizer, run_train_loop,
+    )
+
+    apply_fn = lambda p, x, t: jnp.einsum("...c,cd->...d", x, p["w"]) + p["b"]
+    params = {
+        "w": jnp.eye(3) + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (3, 3)),
+        "b": jnp.zeros((3,)),
+    }
+
+    def step_fn(state, rng, batch):
+        def loss_fn(p):
+            noise = jax.random.normal(rng, batch.shape, dtype=batch.dtype)
+            return jnp.mean((apply_fn(p, batch, None) - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    data = np.random.default_rng(0).normal(size=(32, 4, 16, 3)).astype(np.float32)
+
+    def run():
+        tx = make_optimizer("adam", 1e-3)
+        state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        state = run_train_loop(
+            step_fn, state, data, batch_take=8, num_steps=4,
+            rng=jax.random.PRNGKey(1), seed=3, steps_per_call=2,
+            shard_video=True,
+        )
+        return jax.tree.map(np.asarray, jax.device_get(state.params))
+
+    p_single = run()
+    mesh = get_mesh_2d(2, 2)
+    prev = activate_mesh(mesh)
+    try:
+        p_sp = run()
+    finally:
+        activate_mesh(prev)
+    np.testing.assert_allclose(p_single["w"], p_sp["w"], atol=2e-6)
+    np.testing.assert_allclose(p_single["b"], p_sp["b"], atol=2e-6)
