@@ -74,12 +74,15 @@ def main():
                           cond=cond, guidance_grad=g)
 
     def timeit(name, fn, *args):
-        fn(*args).block_until_ready()  # compile+warmup
+        # sync by fetching a scalar to host: on the tunneled axon backend,
+        # block_until_ready alone returned before remote completion for the
+        # scan-of-forwards variant (round-3 run recorded 0.002 ms/step)
+        float(jnp.sum(fn(*args)))  # compile+warmup
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)
-        out.block_until_ready()
+        float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / reps
         sps = STEPS / dt
         print(json.dumps({

@@ -128,6 +128,12 @@ tick(f"pretrain {PRETRAIN_STEPS} steps done")
 results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS,
            "effective_train_set": "full 5000 (device pool 2500, refreshed every 2000 steps)",
            "pt_epochs": PT_EPOCHS, "pt_steps": PT_STEPS}
+# a restarted run keeps previously persisted results (baseline eval,
+# completed posttrain/backward epochs); the phase state_dir below resumes
+# params/opt/Q at epoch granularity
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        results = {**json.load(f), **results}
 
 
 def dump():
@@ -147,7 +153,8 @@ pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25, eval_chunk=10
 # (plain diffusion, no safety guidance, no Q needed so no 200-sample
 # calibration pass — affordable inside the chip-time budget). The
 # posttrain/backward epoch evals below measure their deltas against this.
-if os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1":
+if (os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1"
+        and "baseline_eval_unguided" not in results):
     base_eval = pipe.evaluate(state.ema_params, data["test"], jnp.zeros(()),
                               jax.random.PRNGKey(1234), guided=False)
     results["baseline_eval_unguided"] = {k: float(v) for k, v in base_eval.items()}
@@ -156,7 +163,7 @@ if os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1":
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
                            finetune_steps=PT_STEPS, finetune_batch_size=7,
                            finetune_lr=1e-4, device_pool=2500)
-results["posttrain_history"] = []
+results.setdefault("posttrain_history", [])
 
 
 def on_epoch(rec):
@@ -168,13 +175,13 @@ def on_epoch(rec):
 
 params, Q, hist = run_inference(cfg, pipe, state.ema_params,
                                 data["train"], data["cal"], data["test"],
-                                on_epoch=on_epoch, deadline=PT_DEADLINE)
+                                on_epoch=on_epoch, deadline=PT_DEADLINE,
+                                state_dir="/tmp/smoke_pt_state")
 tick(f"posttrain done Q={float(Q):.5f}")
-for h in hist:
+for h in results["posttrain_history"]:
     tick(f"  epoch {h['epoch']}: J_target={h['eval']['J_target']:.5f} "
          f"unsafe%={h['eval']['unsafe_percentage']:.1f} "
          f"unsafe_t%={h['eval']['unsafe_percentage_time']:.1f} loss={h['loss']:.4f}")
-results["posttrain_history"] = hist
 results["Q_posttrain"] = float(Q)
 dump()  # posttrain results persisted before the optional backward phase
 
@@ -196,7 +203,7 @@ pipe_b = SmokePipeline(bconf, compute_dtype="bfloat16", finetune_set="test",
                        cal_chunk=20, eval_chunk=10)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,
                             finetune_epoch=BW_EPOCHS, finetune_steps=1)
-results["backward_history"] = []
+results.setdefault("backward_history", [])
 
 
 def on_epoch_b(rec):
@@ -208,9 +215,9 @@ def on_epoch_b(rec):
 
 params_b, Q_b, hist_b = run_inference(bcfg, pipe_b, params, None,
                                       data["cal"], data["test"],
-                                      on_epoch=on_epoch_b, deadline=DEADLINE)
+                                      on_epoch=on_epoch_b, deadline=DEADLINE,
+                                      state_dir="/tmp/smoke_bw_state")
 tick(f"backward finetune done Q={float(Q_b):.5f}")
-results["backward_history"] = hist_b
 results["Q_backward"] = float(Q_b)
 
 print("SUMMARY", json.dumps(results))

@@ -427,17 +427,33 @@ def run_inference(
     test_data: SmokeDataset,
     on_epoch=None,
     deadline: Optional[float] = None,
+    state_dir: Optional[str] = None,
 ):
     """Reference run() loop (2d/inference_2d.py:286-368): per epoch
     finetune -> conformal -> evaluate. Returns (params, Q, metrics).
     `on_epoch(epoch_record)` fires after each epoch (incremental result
     persistence for long runs). `deadline` (time.time() epoch seconds)
-    stops starting new epochs once passed — completed epochs are returned."""
+    stops starting new epochs once passed — completed epochs are returned.
+    `state_dir` persists (params, opt_state, Q) after every epoch and
+    auto-resumes from the latest saved epoch, so a crash mid-phase costs
+    at most one epoch; per-epoch RNG is derived by fold_in, making a
+    resumed run bit-identical to an uninterrupted one."""
     import time as _time
+
+    from safediffcon_tpu.utils.checkpoint import load_phase_state, save_phase_state
+
     ccfg = cfg.conformal
     tx, weighted_step, weighted_step_pool, backward_step = make_finetune_steps(
         cfg, pipeline)
     opt_state = tx.init(params)
+    start_epoch = 0
+    if state_dir is not None:
+        restored = load_phase_state(state_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, Q_restored, last_epoch = restored
+            start_epoch = last_epoch + 1
+            log.info("smoke finetune: resumed phase state after epoch %d from %s",
+                     last_epoch, state_dir)
 
     _pool_stage: dict = {}
 
@@ -461,10 +477,13 @@ def run_inference(
                  pool, n, _pool_stage["bf16"].nbytes / 1e9)
         return maybe_shard(_pool_stage["bf16"], video=True), jnp.asarray(w_all[ids])
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
+    if start_epoch > 0:
+        Q = Q_restored
     all_metrics = []
-    for epoch in range(cfg.finetune_epoch):
+    for epoch in range(start_epoch, cfg.finetune_epoch):
+        rng = jax.random.fold_in(base_rng, epoch)
         if deadline is not None and _time.time() > deadline:
             log.info("smoke finetune: deadline reached before epoch %d, "
                      "returning %d completed epochs", epoch, len(all_metrics))
@@ -528,4 +547,6 @@ def run_inference(
         )
         if on_epoch is not None:
             on_epoch(all_metrics[-1])
+        if state_dir is not None:
+            save_phase_state(state_dir, params, opt_state, Q, epoch)
     return params, Q, all_metrics

@@ -59,6 +59,47 @@ def latest_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def save_phase_state(directory: str, params, opt_state, Q, epoch: int) -> str:
+    """Persist a finetune-phase epoch state (params + optimizer moments +
+    Q-hat) so a posttrain/InfFT run survives a worker crash mid-phase.
+
+    The reference has no equivalent (a crash mid-posttrain loses the run);
+    epoch granularity matches its per-epoch results.yaml convention
+    (1D/posttrain/post_train.py:459-461)."""
+    payload = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "Q": np.asarray(Q),
+        "epoch": np.asarray(epoch),
+    }
+    path = _ckpt_path(directory, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_phase_state(directory: str, params, opt_state, epoch: Optional[int] = None):
+    """Restore the latest (or a specific) finetune-phase epoch state.
+
+    `params`/`opt_state` supply the target pytree structure (their values
+    are not read). Returns ``(params, opt_state, Q, epoch)`` or ``None``
+    when the directory holds no state."""
+    if epoch is None:
+        epoch = latest_step(directory)
+        if epoch is None:
+            return None
+    target = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "Q": np.zeros(()),
+        "epoch": np.asarray(0),
+    }
+    path = _ckpt_path(directory, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path, target)
+    return payload["params"], payload["opt_state"], jnp.asarray(payload["Q"]), int(payload["epoch"])
+
+
 def save_finetuned(directory: str, params, Q, step: int = 0) -> str:
     """Save a fine-tuned model (params + conformal quantile), the
     SafeDiffCon checkpoint convention (reference:

@@ -184,3 +184,36 @@ def test_posttrain_device_pool_matches_host_stream(tiny_data):
                                 tiny_data["cal"], tiny_data["test"])
     assert np.isfinite(float(Q))
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_run_inference_phase_resume_exact(tiny_data, tiny_pipeline, tmp_path):
+    """A crash-resumed posttrain phase is bit-identical to an uninterrupted
+    one: per-epoch RNG is fold_in-derived and `state_dir` persists
+    (params, optimizer moments, Q) at epoch granularity."""
+    from safediffcon_tpu.tasks.smoke.pipeline import init_params
+
+    conf = _tiny_conf()
+    params = init_params(tiny_pipeline.model, jax.random.PRNGKey(0),
+                         frames=N_FRAMES // TIME_SCALE, size=64 // SPACE_SCALE)
+
+    cfg2 = SmokeInferenceConfig(conformal=conf, finetune_epoch=2,
+                                finetune_steps=2, finetune_batch_size=3)
+    pA, QA, hA = run_inference(cfg2, tiny_pipeline, params,
+                               tiny_data["train"], tiny_data["cal"],
+                               tiny_data["test"])
+
+    d = str(tmp_path / "phase_state")
+    cfg1 = SmokeInferenceConfig(conformal=conf, finetune_epoch=1,
+                                finetune_steps=2, finetune_batch_size=3)
+    run_inference(cfg1, tiny_pipeline, params, tiny_data["train"],
+                  tiny_data["cal"], tiny_data["test"], state_dir=d)
+    # "crash" after epoch 0: restart the 2-epoch run from the saved state
+    pB, QB, hB = run_inference(cfg2, tiny_pipeline, params,
+                               tiny_data["train"], tiny_data["cal"],
+                               tiny_data["test"], state_dir=d)
+    assert [h["epoch"] for h in hB] == [1]
+    np.testing.assert_allclose(float(QA), float(QB), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(pA), jax.tree_util.tree_leaves(pB)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(hA[-1]["eval"]["J_target"],
+                               hB[-1]["eval"]["J_target"], rtol=0, atol=0)
