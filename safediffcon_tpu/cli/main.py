@@ -99,6 +99,15 @@ def _resume_dir(args, ckpt_dir):
     return ckpt_dir if getattr(args, "resume", False) else None
 
 
+def _phase_state_dir(args, task):
+    """Epoch-granular crash resume for the posttrain/InfFT loops: with
+    --resume, the phase persists (params, opt moments, Q) per epoch under
+    <out>/<task>-<phase>-state and picks up from the latest saved epoch."""
+    if not getattr(args, "resume", False):
+        return None
+    return os.path.join(args.out, f"{task}-{args.phase}-state")
+
+
 def _steps_per_call(args):
     # explicit None check: --steps-per-call 0/1 means "no chunking"
     if getattr(args, "steps_per_call", None) is not None:
@@ -267,13 +276,15 @@ def run_burgers(args) -> int:
         cfg = BurgersPostTrainConfig(seed=args.seed)
         finetune = _dispatch_load(BurgersDataset, data_path, "train", subset=cfg.finetune_subset_size)
         state, Q, metrics = P.posttrain(cfg, pipe, params, finetune, cal, test,
-                                        finetune_steps=args.steps)
+                                        finetune_steps=args.steps,
+                                        state_dir=_phase_state_dir(args, "burgers"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, "burgers-posttrain"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_posttrain_results.json", metrics))
     elif args.phase == "infft":
         cfg = BurgersInfFTConfig(seed=args.seed)
-        state, Q, metrics = P.inference_finetune(cfg, pipe, params, cal, test)
+        state, Q, metrics = P.inference_finetune(cfg, pipe, params, cal, test,
+                                                 state_dir=_phase_state_dir(args, "burgers"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, "burgers-infft"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_infft_results.json", metrics))
@@ -331,7 +342,8 @@ def run_tokamak(args) -> int:
         train = _dispatch_load(TokamakDataset, data_path, "train")
         cal = _dispatch_load(TokamakDataset, data_path, "cal")
         test = _dispatch_load(TokamakDataset, data_path, "test")
-        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test,
+                                           state_dir=_phase_state_dir(args, "tokamak"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"tokamak-{args.phase}"), params, Q)
         print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))
@@ -394,7 +406,8 @@ def run_smoke(args) -> int:
         train = _dispatch_load(SmokeDataset, data_path, "train")
         cal = _dispatch_load(SmokeDataset, data_path, "cal")
         test = _dispatch_load(SmokeDataset, data_path, "test")
-        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test)
+        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test,
+                                           state_dir=_phase_state_dir(args, "smoke"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))

@@ -320,12 +320,17 @@ def posttrain(
     test_data: BurgersDataset,
     finetune_steps: Optional[int] = None,
     eval_every_subset_epoch: bool = True,
+    state_dir: Optional[str] = None,
 ):
     """Conformal post-training (reference: 1D/posttrain/post_train.py:262-311).
 
     Per epoch: per-sample reweights from exp(-guidance(x, Q)), N reweighted
     diffusion-loss steps, Q-hat recalibration, solver evaluation.
+    `state_dir` persists the full TrainState (+ Q) per epoch and
+    auto-resumes from the latest saved epoch; per-epoch fold_in RNG makes
+    a resumed run bit-identical to an uninterrupted one.
     """
+    from safediffcon_tpu.utils.checkpoint import load_phase_trainstate, save_checkpoint
     ccfg = cfg.conformal
     steps_per_epoch = finetune_steps or cfg.finetune_steps
 
@@ -374,8 +379,16 @@ def posttrain(
             pos += cfg.finetune_batch_size
         return np.asarray(sels)  # (steps, B)
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
+    start_epoch = 0
+    if state_dir is not None:
+        restored = load_phase_trainstate(state_dir, state)
+        if restored is not None:
+            state, Q, last_epoch = restored
+            start_epoch = last_epoch + 1
+            log.info("posttrain: resumed phase state after epoch %d from %s",
+                     last_epoch, state_dir)
     n = len(finetune_data)
     all_metrics = []
     # Eval fires when the cumulative sample count hits a multiple of the
@@ -388,7 +401,8 @@ def posttrain(
         // math.gcd(cfg.finetune_batch_size, cfg.finetune_subset_size)
         if eval_every_subset_epoch else steps_per_epoch
     )
-    for epoch in range(cfg.finetune_epoch):
+    for epoch in range(start_epoch, cfg.finetune_epoch):
+        rng = jax.random.fold_in(base_rng, epoch)
         w_train = np.asarray(pipeline.reweights(finetune_data.data, Q))
         sels = _epoch_sels()
         epoch_losses = []
@@ -438,6 +452,8 @@ def posttrain(
                 "quantile": float(Q),
             }
         )
+        if state_dir is not None:
+            save_checkpoint(state_dir, state, step=epoch, Q=Q)
     return state, Q, all_metrics
 
 
@@ -451,12 +467,16 @@ def inference_finetune(
     params,
     cal_data: BurgersDataset,
     test_data: BurgersDataset,
+    state_dir: Optional[str] = None,
 ):
     """InfFT (reference: 1D/inference/inference_ft.py:228-433): per epoch,
     sample the test set with guidance keeping the final denoise step
     differentiable, minimize MSE(relu(s + Q - bound^2), 0) w.r.t. params,
     recalibrate Q-hat, evaluate. The last epoch is evaluation-only.
+    `state_dir`: per-epoch TrainState persistence + exact resume (see
+    `posttrain`).
     """
+    from safediffcon_tpu.utils.checkpoint import load_phase_trainstate, save_checkpoint
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
     apply_fn = pipeline.apply_fn
@@ -494,13 +514,22 @@ def inference_finetune(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
+    start_epoch = 0
+    if state_dir is not None:
+        restored = load_phase_trainstate(state_dir, state)
+        if restored is not None:
+            state, Q, last_epoch = restored
+            start_epoch = last_epoch + 1
+            log.info("InfFT: resumed phase state after epoch %d from %s",
+                     last_epoch, state_dir)
     all_metrics = []
     # The reference runs InfFT_iters-1 finetuning epochs: its loop skips all
     # work on the final index (reference: run():415-418), so the last recorded
     # eval happens after the (InfFT_iters-1)-th calibration.
-    for epoch in range(cfg.InfFT_iters - 1):
+    for epoch in range(start_epoch, cfg.InfFT_iters - 1):
+        rng = jax.random.fold_in(base_rng, epoch)
         losses = []
         for lo in range(0, len(test_data), ccfg.test_batch_size):
             batch = maybe_shard(test_data.data[lo : lo + ccfg.test_batch_size])
@@ -517,4 +546,6 @@ def inference_finetune(
             {"epoch": epoch, "loss": float(np.mean(losses)),
              "eval": metrics, "quantile": float(Q)}
         )
+        if state_dir is not None:
+            save_checkpoint(state_dir, state, step=epoch, Q=Q)
     return state, Q, all_metrics

@@ -325,10 +325,17 @@ def run_inference(
     train_data: Optional[TokamakDataset],
     cal_data: TokamakDataset,
     test_data: TokamakDataset,
+    on_epoch=None,
+    state_dir: Optional[str] = None,
 ):
     """Reference run() loop (tokamak/inference/pipeline.py:409-465):
     per epoch calibrate -> finetune -> evaluate. Returns
-    (params, Q, metrics list)."""
+    (params, Q, metrics list). `on_epoch(epoch_record)` fires after each
+    epoch; `state_dir` persists (params, opt moments, Q) per epoch and
+    auto-resumes from the latest saved epoch (per-epoch fold_in RNG makes
+    the resumed run bit-identical to an uninterrupted one)."""
+    from safediffcon_tpu.utils.checkpoint import load_phase_state, save_phase_state
+
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
     apply_fn = pipeline.apply_fn
@@ -380,10 +387,19 @@ def run_inference(
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
+    start_epoch = 0
+    if state_dir is not None:
+        restored = load_phase_state(state_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, Q, last_epoch = restored
+            start_epoch = last_epoch + 1
+            log.info("tokamak finetune: resumed phase state after epoch %d "
+                     "from %s", last_epoch, state_dir)
     all_metrics = []
-    for epoch in range(cfg.finetune_epoch):
+    for epoch in range(start_epoch, cfg.finetune_epoch):
+        rng = jax.random.fold_in(base_rng, epoch)
         rng, key = jax.random.split(rng)
         Q = pipeline.calibrate(params, cal_data, Q, key)
 
@@ -423,4 +439,8 @@ def run_inference(
             {"epoch": epoch, "quantile": float(Q),
              "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
         )
+        if on_epoch is not None:
+            on_epoch(all_metrics[-1])
+        if state_dir is not None:
+            save_phase_state(state_dir, params, opt_state, Q, epoch)
     return params, Q, all_metrics

@@ -100,6 +100,36 @@ def load_phase_state(directory: str, params, opt_state, epoch: Optional[int] = N
     return payload["params"], payload["opt_state"], jnp.asarray(payload["Q"]), int(payload["epoch"])
 
 
+def load_phase_trainstate(directory: str, state, epoch: Optional[int] = None):
+    """Restore the latest TrainState-based phase epoch (saved via
+    ``save_checkpoint(directory, state, step=epoch, Q=Q)``).
+
+    ``state`` supplies the pytree structure and the static optimizer/EMA
+    fields. Returns ``(state, Q, epoch)`` or ``None`` when the directory
+    holds no state."""
+    if epoch is None:
+        epoch = latest_step(directory)
+        if epoch is None:
+            return None
+    target = {
+        "step": np.asarray(jax.device_get(state.step)),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "ema_params": jax.device_get(state.ema_params),
+        "Q": np.zeros(()),
+    }
+    path = _ckpt_path(directory, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path, target)
+    new_state = state.replace(
+        step=jnp.asarray(payload["step"]),
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        ema_params=payload["ema_params"],
+    )
+    return new_state, jnp.asarray(payload["Q"]), int(epoch)
+
+
 def save_finetuned(directory: str, params, Q, step: int = 0) -> str:
     """Save a fine-tuned model (params + conformal quantile), the
     SafeDiffCon checkpoint convention (reference:

@@ -56,3 +56,42 @@ def test_save_finetuned_roundtrip(tmp_path):
     restored = load_checkpoint(d, 3)
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0))
     assert abs(float(restored["Q"]) - 1.25) < 1e-6
+
+
+def test_phase_state_roundtrip(tmp_path):
+    """Epoch-granular phase persistence: save_phase_state/load_phase_state
+    (params+opt+Q) and the TrainState variant restore exactly."""
+    from safediffcon_tpu.utils.checkpoint import (
+        load_phase_state, load_phase_trainstate, save_phase_state,
+    )
+    import optax
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    tx = make_optimizer("adam", 1e-3)
+    opt_state = tx.init(params)
+    _, opt_state = tx.update(jax.tree.map(jnp.ones_like, params), opt_state, params)
+
+    d = str(tmp_path / "ph")
+    assert load_phase_state(d, params, opt_state) is None
+    save_phase_state(d, params, opt_state, jnp.asarray(0.3), epoch=2)
+    p2, o2, Q2, e2 = load_phase_state(d, jax.tree.map(jnp.zeros_like, params),
+                                      jax.tree.map(jnp.zeros_like, opt_state))
+    assert e2 == 2 and abs(float(Q2) - 0.3) < 1e-6
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    for a, b in zip(jax.tree_util.tree_leaves(o2), jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state = TrainState.create(params, tx)
+    state = state.apply_gradients(jax.tree.map(jnp.ones_like, params))
+    d2 = str(tmp_path / "ts")
+    assert load_phase_trainstate(d2, state) is None
+    save_checkpoint(d2, state, step=1, Q=jnp.asarray(0.9))
+    fresh = TrainState.create(jax.tree.map(jnp.zeros_like, params), tx)
+    s2, Q, e = load_phase_trainstate(d2, fresh)
+    assert e == 1 and abs(float(Q) - 0.9) < 1e-6
+    assert int(s2.step) == int(state.step)
+    np.testing.assert_array_equal(np.asarray(s2.ema_params["b"]),
+                                  np.asarray(state.ema_params["b"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s2.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
