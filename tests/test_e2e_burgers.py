@@ -133,3 +133,39 @@ def test_posttrain_chunked_matches_structure(tiny_dataset):
     assert len(pt_metrics) == 1
     # one eval at it=4 (subset boundary); it=6 is epoch end, not a boundary
     assert len(pt_metrics[0]["eval_history"]) == 1
+
+
+def test_posttrain_phase_resume_exact(tiny_dataset, tmp_path):
+    """A crash-resumed posttrain run is bit-identical to an uninterrupted
+    one (state_dir persists the full TrainState + Q per epoch; per-epoch
+    fold_in RNG)."""
+    train = BurgersDataset.load(tiny_dataset, "train")
+    cal = BurgersDataset.load(tiny_dataset, "cal")
+    test = BurgersDataset.load(tiny_dataset, "test")
+
+    ccfg = BurgersConformalConfig(
+        cal_batch_size=4, num_cal_batch=1, n_cal_samples=4, n_test_samples=4,
+        test_batch_size=4, ddim_sampling_steps=2, w_score=5.0,
+    )
+    pipeline = BurgersPipeline(ccfg, dim=8, dim_mults=(1, 2))
+    params = init_params(pipeline.model, jax.random.PRNGKey(3))
+    pt_cfg = BurgersPostTrainConfig(
+        conformal=ccfg, finetune_epoch=2, finetune_steps=2,
+        finetune_batch_size=4, finetune_subset_size=8,
+    )
+
+    d = str(tmp_path / "pt_state")
+    sA, QA, mA = posttrain(pt_cfg, pipeline, params, train, cal, test,
+                           eval_every_subset_epoch=False, state_dir=d)
+
+    # "crash" during epoch 1: drop its saved state, resume from epoch 0
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "ckpt-1"))
+    sB, QB, mB = posttrain(pt_cfg, pipeline, params, train, cal, test,
+                           eval_every_subset_epoch=False, state_dir=d)
+    assert [m["epoch"] for m in mB] == [1]
+    np.testing.assert_allclose(float(QA), float(QB), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.ema_params),
+                    jax.tree_util.tree_leaves(sB.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
