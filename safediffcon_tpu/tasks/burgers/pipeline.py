@@ -386,6 +386,7 @@ def posttrain(
         restored = load_phase_trainstate(state_dir, state)
         if restored is not None:
             state, Q, last_epoch = restored
+            state = maybe_replicate(state)  # restored leaves are host arrays
             start_epoch = last_epoch + 1
             log.info("posttrain: resumed phase state after epoch %d from %s",
                      last_epoch, state_dir)
@@ -521,6 +522,7 @@ def inference_finetune(
         restored = load_phase_trainstate(state_dir, state)
         if restored is not None:
             state, Q, last_epoch = restored
+            state = maybe_replicate(state)  # restored leaves are host arrays
             start_epoch = last_epoch + 1
             log.info("InfFT: resumed phase state after epoch %d from %s",
                      last_epoch, state_dir)
