@@ -132,13 +132,26 @@ results = {"n_train": N_TRAIN, "pretrain_steps": PRETRAIN_STEPS,
 # completed posttrain/backward epochs); the phase state_dir below resumes
 # params/opt/Q at epoch granularity
 if os.path.exists(OUT):
-    with open(OUT) as f:
-        results = {**json.load(f), **results}
+    try:
+        with open(OUT) as f:
+            results = {**json.load(f), **results}
+    except (json.JSONDecodeError, OSError):
+        tick(f"WARNING: unreadable prior results at {OUT}, starting fresh")
 
 
 def dump():
-    with open(OUT, "w") as f:
+    # atomic: a crash mid-write must not poison the next retry's load
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
+    os.replace(tmp, OUT)
+
+
+def _dedup_append(key, rec):
+    """Replace-by-epoch: resume replays restored epoch records through the
+    callback, so plain append would duplicate rows."""
+    h = results[key]
+    h[:] = [r for r in h if r["epoch"] != rec["epoch"]] + [rec]
 
 
 dump()
@@ -167,7 +180,7 @@ results.setdefault("posttrain_history", [])
 
 
 def on_epoch(rec):
-    results["posttrain_history"].append(rec)
+    _dedup_append("posttrain_history", rec)
     dump()
     tick(f"posttrain epoch {rec['epoch']} Q={rec['quantile']:.5f} "
          f"eval={rec['eval']}")
@@ -207,7 +220,7 @@ results.setdefault("backward_history", [])
 
 
 def on_epoch_b(rec):
-    results["backward_history"].append(rec)
+    _dedup_append("backward_history", rec)
     dump()
     tick(f"backward epoch {rec['epoch']} Q={rec['quantile']:.5f} "
          f"eval={rec['eval']}")

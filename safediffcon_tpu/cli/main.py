@@ -78,7 +78,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "(smoke/UNet3D): builds a 2-D (data, frames) mesh "
                         "with device_count//sp x sp devices")
     p.add_argument("--resume", action="store_true",
-                   help="pretrain: resume from the latest checkpoint in --out")
+                   help="resume from the latest saved state in --out: "
+                        "pretrain restores the latest step milestone; "
+                        "posttrain/infft restore epoch-granular phase state "
+                        "(params+opt+Q-hat, <out>/<task>-<phase>-state)")
     p.add_argument("--steps-per-call", type=int, default=None,
                    help="pretrain: optimizer steps fused per device call "
                         "(lax.scan); default 25 on TPU, 1 elsewhere — "

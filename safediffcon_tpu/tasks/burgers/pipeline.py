@@ -330,7 +330,10 @@ def posttrain(
     auto-resumes from the latest saved epoch; per-epoch fold_in RNG makes
     a resumed run bit-identical to an uninterrupted one.
     """
-    from safediffcon_tpu.utils.checkpoint import load_phase_trainstate, save_checkpoint
+    from safediffcon_tpu.utils.checkpoint import (
+        load_phase_history, load_phase_trainstate, save_checkpoint,
+        save_phase_history,
+    )
     ccfg = cfg.conformal
     steps_per_epoch = finetune_steps or cfg.finetune_steps
 
@@ -382,16 +385,18 @@ def posttrain(
     base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
     start_epoch = 0
+    all_metrics = []
     if state_dir is not None:
         restored = load_phase_trainstate(state_dir, state)
         if restored is not None:
             state, Q, last_epoch = restored
             state = maybe_replicate(state)  # restored leaves are host arrays
             start_epoch = last_epoch + 1
+            all_metrics = load_phase_history(
+                state_dir, max_epoch=last_epoch, config_repr=repr(cfg))
             log.info("posttrain: resumed phase state after epoch %d from %s",
                      last_epoch, state_dir)
     n = len(finetune_data)
-    all_metrics = []
     # Eval fires when the cumulative sample count hits a multiple of the
     # subset size — the reference condition ((it+1)*batch) % subset == 0
     # (1D/posttrain/post_train.py:288) is equivalent to
@@ -455,6 +460,7 @@ def posttrain(
         )
         if state_dir is not None:
             save_checkpoint(state_dir, state, step=epoch, Q=Q)
+            save_phase_history(state_dir, all_metrics, config_repr=repr(cfg))
     return state, Q, all_metrics
 
 
@@ -477,7 +483,10 @@ def inference_finetune(
     `state_dir`: per-epoch TrainState persistence + exact resume (see
     `posttrain`).
     """
-    from safediffcon_tpu.utils.checkpoint import load_phase_trainstate, save_checkpoint
+    from safediffcon_tpu.utils.checkpoint import (
+        load_phase_history, load_phase_trainstate, save_checkpoint,
+        save_phase_history,
+    )
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
     apply_fn = pipeline.apply_fn
@@ -518,15 +527,17 @@ def inference_finetune(
     base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
     start_epoch = 0
+    all_metrics = []
     if state_dir is not None:
         restored = load_phase_trainstate(state_dir, state)
         if restored is not None:
             state, Q, last_epoch = restored
             state = maybe_replicate(state)  # restored leaves are host arrays
             start_epoch = last_epoch + 1
+            all_metrics = load_phase_history(
+                state_dir, max_epoch=last_epoch, config_repr=repr(cfg))
             log.info("InfFT: resumed phase state after epoch %d from %s",
                      last_epoch, state_dir)
-    all_metrics = []
     # The reference runs InfFT_iters-1 finetuning epochs: its loop skips all
     # work on the final index (reference: run():415-418), so the last recorded
     # eval happens after the (InfFT_iters-1)-th calibration.
@@ -550,4 +561,5 @@ def inference_finetune(
         )
         if state_dir is not None:
             save_checkpoint(state_dir, state, step=epoch, Q=Q)
+            save_phase_history(state_dir, all_metrics, config_repr=repr(cfg))
     return state, Q, all_metrics

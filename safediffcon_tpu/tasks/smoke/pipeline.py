@@ -440,18 +440,26 @@ def run_inference(
     resumed run bit-identical to an uninterrupted one."""
     import time as _time
 
-    from safediffcon_tpu.utils.checkpoint import load_phase_state, save_phase_state
+    from safediffcon_tpu.utils.checkpoint import (
+        load_phase_history, load_phase_state, save_phase_history,
+        save_phase_state,
+    )
 
     ccfg = cfg.conformal
     tx, weighted_step, weighted_step_pool, backward_step = make_finetune_steps(
         cfg, pipeline)
     opt_state = tx.init(params)
     start_epoch = 0
+    restored_history = []
     if state_dir is not None:
         restored = load_phase_state(state_dir, params, opt_state)
         if restored is not None:
             params, opt_state, Q_restored, last_epoch = restored
+            params = maybe_replicate(params)  # restored leaves are host arrays
+            opt_state = maybe_replicate(opt_state)
             start_epoch = last_epoch + 1
+            restored_history = load_phase_history(
+                state_dir, max_epoch=last_epoch, config_repr=repr(cfg))
             log.info("smoke finetune: resumed phase state after epoch %d from %s",
                      last_epoch, state_dir)
 
@@ -481,7 +489,12 @@ def run_inference(
     Q = jnp.zeros(())
     if start_epoch > 0:
         Q = Q_restored
-    all_metrics = []
+    all_metrics = list(restored_history)
+    for rec in all_metrics:
+        # replay restored records through the callback so external result
+        # files converge regardless of where the previous run crashed
+        if on_epoch is not None:
+            on_epoch(rec)
     for epoch in range(start_epoch, cfg.finetune_epoch):
         rng = jax.random.fold_in(base_rng, epoch)
         if deadline is not None and _time.time() > deadline:
@@ -545,8 +558,11 @@ def run_inference(
             {"epoch": epoch, "quantile": float(Q),
              "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
         )
-        if on_epoch is not None:
-            on_epoch(all_metrics[-1])
+        # persist state+history BEFORE the callback: a crash between them
+        # then re-fires the callback on resume instead of losing the record
         if state_dir is not None:
             save_phase_state(state_dir, params, opt_state, Q, epoch)
+            save_phase_history(state_dir, all_metrics, config_repr=repr(cfg))
+        if on_epoch is not None:
+            on_epoch(all_metrics[-1])
     return params, Q, all_metrics

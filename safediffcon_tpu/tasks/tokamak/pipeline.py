@@ -334,7 +334,10 @@ def run_inference(
     epoch; `state_dir` persists (params, opt moments, Q) per epoch and
     auto-resumes from the latest saved epoch (per-epoch fold_in RNG makes
     the resumed run bit-identical to an uninterrupted one)."""
-    from safediffcon_tpu.utils.checkpoint import load_phase_state, save_phase_state
+    from safediffcon_tpu.utils.checkpoint import (
+        load_phase_history, load_phase_state, save_phase_history,
+        save_phase_state,
+    )
 
     ccfg = cfg.conformal
     tc = pipeline.task_cfg
@@ -390,14 +393,21 @@ def run_inference(
     base_rng = jax.random.PRNGKey(cfg.seed)
     Q = jnp.zeros(())
     start_epoch = 0
+    all_metrics = []
     if state_dir is not None:
         restored = load_phase_state(state_dir, params, opt_state)
         if restored is not None:
             params, opt_state, Q, last_epoch = restored
+            params = maybe_replicate(params)  # restored leaves are host arrays
+            opt_state = maybe_replicate(opt_state)
             start_epoch = last_epoch + 1
+            all_metrics = load_phase_history(
+                state_dir, max_epoch=last_epoch, config_repr=repr(cfg))
             log.info("tokamak finetune: resumed phase state after epoch %d "
                      "from %s", last_epoch, state_dir)
-    all_metrics = []
+            for rec in all_metrics:
+                if on_epoch is not None:
+                    on_epoch(rec)
     for epoch in range(start_epoch, cfg.finetune_epoch):
         rng = jax.random.fold_in(base_rng, epoch)
         rng, key = jax.random.split(rng)
@@ -439,8 +449,10 @@ def run_inference(
             {"epoch": epoch, "quantile": float(Q),
              "loss": float(np.mean(losses)) if losses else None, "eval": metrics}
         )
-        if on_epoch is not None:
-            on_epoch(all_metrics[-1])
+        # persist state+history BEFORE the callback (see smoke run_inference)
         if state_dir is not None:
             save_phase_state(state_dir, params, opt_state, Q, epoch)
+            save_phase_history(state_dir, all_metrics, config_repr=repr(cfg))
+        if on_epoch is not None:
+            on_epoch(all_metrics[-1])
     return params, Q, all_metrics

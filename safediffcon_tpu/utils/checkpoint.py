@@ -29,7 +29,7 @@ def save_checkpoint(directory: str, state, step: int, Q: Optional[Any] = None) -
         "ema_params": jax.device_get(state.ema_params),
     }
     if Q is not None:
-        payload["Q"] = np.asarray(Q)
+        payload["Q"] = np.asarray(Q, np.float32)
     path = _ckpt_path(directory, step)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
@@ -69,13 +69,22 @@ def save_phase_state(directory: str, params, opt_state, Q, epoch: int) -> str:
     payload = {
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state),
-        "Q": np.asarray(Q),
-        "epoch": np.asarray(epoch),
+        "Q": np.asarray(Q, np.float32),
+        "epoch": np.asarray(epoch, np.int64),
     }
     path = _ckpt_path(directory, epoch)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     return path
+
+
+def _abstract(tree):
+    """Shape/dtype-only restore target: structure without materializing
+    (or device_get-ing) any values."""
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype
+                                       if not hasattr(a, "dtype") else a.dtype),
+        tree)
 
 
 def load_phase_state(directory: str, params, opt_state, epoch: Optional[int] = None):
@@ -89,10 +98,10 @@ def load_phase_state(directory: str, params, opt_state, epoch: Optional[int] = N
         if epoch is None:
             return None
     target = {
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state),
-        "Q": np.zeros(()),
-        "epoch": np.asarray(0),
+        "params": _abstract(params),
+        "opt_state": _abstract(opt_state),
+        "Q": jax.ShapeDtypeStruct((), np.float32),
+        "epoch": jax.ShapeDtypeStruct((), np.int64),
     }
     path = _ckpt_path(directory, epoch)
     with ocp.StandardCheckpointer() as ckptr:
@@ -112,11 +121,11 @@ def load_phase_trainstate(directory: str, state, epoch: Optional[int] = None):
         if epoch is None:
             return None
     target = {
-        "step": np.asarray(jax.device_get(state.step)),
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
-        "ema_params": jax.device_get(state.ema_params),
-        "Q": np.zeros(()),
+        "step": jax.ShapeDtypeStruct((), np.int32),
+        "params": _abstract(state.params),
+        "opt_state": _abstract(state.opt_state),
+        "ema_params": _abstract(state.ema_params),
+        "Q": jax.ShapeDtypeStruct((), np.float32),
     }
     path = _ckpt_path(directory, epoch)
     with ocp.StandardCheckpointer() as ckptr:
@@ -128,6 +137,53 @@ def load_phase_trainstate(directory: str, state, epoch: Optional[int] = None):
         ema_params=payload["ema_params"],
     )
     return new_state, jnp.asarray(payload["Q"]), int(epoch)
+
+
+def save_phase_history(directory: str, history, config_repr: Optional[str] = None) -> str:
+    """Atomically persist the epoch-metrics history (and a config
+    fingerprint) beside the phase state, so a resumed run returns the FULL
+    metrics list and a config mismatch is detectable."""
+    import json
+    import tempfile
+
+    os.makedirs(directory, exist_ok=True)
+    payload = {"history": history}
+    if config_repr is not None:
+        payload["config"] = config_repr
+    path = os.path.join(directory, "history.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, default=float)
+    os.replace(tmp, path)
+    return path
+
+
+def load_phase_history(directory: str, max_epoch: Optional[int] = None,
+                       config_repr: Optional[str] = None):
+    """Load the epoch-metrics history written by `save_phase_history`
+    (empty list when absent or unreadable). Logs a warning when the stored
+    config fingerprint differs from `config_repr` — resuming state trained
+    under different hyperparameters is almost always a mistake."""
+    import json
+    import logging
+
+    path = os.path.join(directory, "history.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return []
+    if config_repr is not None and payload.get("config") not in (None, config_repr):
+        logging.getLogger(__name__).warning(
+            "phase state in %s was written under a different config:\n"
+            "  saved: %s\n  now:   %s", directory, payload.get("config"),
+            config_repr)
+    hist = payload.get("history", [])
+    if max_epoch is not None:
+        hist = [h for h in hist if h.get("epoch", 0) <= max_epoch]
+    return hist
 
 
 def save_finetuned(directory: str, params, Q, step: int = 0) -> str:

@@ -164,7 +164,8 @@ def test_posttrain_phase_resume_exact(tiny_dataset, tmp_path):
     shutil.rmtree(os.path.join(d, "ckpt-1"))
     sB, QB, mB = posttrain(pt_cfg, pipeline, params, train, cal, test,
                            eval_every_subset_epoch=False, state_dir=d)
-    assert [m["epoch"] for m in mB] == [1]
+    # resumed run returns the FULL history (epoch 0 restored, epoch 1 re-run)
+    assert [m["epoch"] for m in mB] == [0, 1]
     np.testing.assert_allclose(float(QA), float(QB), rtol=0, atol=0)
     for a, b in zip(jax.tree_util.tree_leaves(sA.ema_params),
                     jax.tree_util.tree_leaves(sB.ema_params)):

@@ -211,7 +211,8 @@ def test_run_inference_phase_resume_exact(tiny_data, tiny_pipeline, tmp_path):
     pB, QB, hB = run_inference(cfg2, tiny_pipeline, params,
                                tiny_data["train"], tiny_data["cal"],
                                tiny_data["test"], state_dir=d)
-    assert [h["epoch"] for h in hB] == [1]
+    # resumed run returns the FULL history (epoch 0 restored, epoch 1 run)
+    assert [h["epoch"] for h in hB] == [0, 1]
     np.testing.assert_allclose(float(QA), float(QB), rtol=0, atol=0)
     for a, b in zip(jax.tree_util.tree_leaves(pA), jax.tree_util.tree_leaves(pB)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
