@@ -160,7 +160,12 @@ dump()
 conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                             w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
                             ddim_sampling_steps=100, test_batch_size=25)
-pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=25, eval_chunk=10)
+cal_chunk = int(os.environ.get("SMOKE_CAL_CHUNK", 10))
+# chunk 10 (was 25): two TPU-worker crashes surfaced right after the
+# guided calibration chunks were queued; smaller chunks cut peak HBM per
+# program (the math is per-sample, chunking is exact)
+pipe = SmokePipeline(conf, compute_dtype="bfloat16", cal_chunk=cal_chunk,
+                     eval_chunk=10)
 
 # Unguided baseline eval of the pretrained model: the natural "before" row
 # (plain diffusion, no safety guidance, no Q needed so no 200-sample

@@ -548,6 +548,10 @@ def run_inference(
         losses = [float(l) for l in losses]  # one sync per epoch
         rng, key = jax.random.split(rng)
         Q = pipeline.calibrate(params, cal_data, Q, key)
+        # sync here so a device fault in the queued calibration chunks
+        # surfaces in THIS phase, not as an opaque failure while the next
+        # jit traces (observability for TPU-worker crashes)
+        log.info("smoke epoch %d calibrated Q %.5f", epoch, float(Q))
 
         rng, key = jax.random.split(rng)
         metrics = pipeline.evaluate(params, test_data, Q, key)
