@@ -13,23 +13,20 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
-TOK_PID=${1:?usage: queue_r3b.sh <tokamak_pid>}
-while kill -0 "$TOK_PID" 2>/dev/null; do sleep 60; done
-echo "[queue2] tokamak job done at $(date)" >> /tmp/queue_r3.log
+WAIT_PID=${1:-}
+if [ -n "$WAIT_PID" ]; then
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+  echo "[queue2] prior job done at $(date)" >> /tmp/queue_r3.log
+fi
 
-# fixed-sync sampler breakdown first (~6 min warm; VERDICT r2 item 6 —
-# the 15:03 run's forward-only variant did not sync and recorded garbage)
-timeout 1500 python experiments/profile_sampler_breakdown.py > /tmp/breakdown_r3b.log 2>&1
-echo "[queue2] breakdown exit=$? at $(date)" >> /tmp/queue_r3.log
-
-# wall-clock budget: stop starting posttrain epochs at DEADLINE-RESERVE,
-# stop starting backward epochs at DEADLINE (round ends ~19:06 UTC)
+# wall-clock budget: the remaining window fits ~1 posttrain epoch + ~2
+# backward epochs; cap epochs directly instead of leaning on the deadline
 DEADLINE=$(date -u -d "2026-08-17 18:52" +%s)
 export SMOKE_PRETRAIN_STEPS=3000 SMOKE_BASELINE_EVAL=1
-export SMOKE_PT_EPOCHS=4 SMOKE_PT_STEPS=300 SMOKE_BW_EPOCHS=4
-export SMOKE_DEADLINE_TS=$DEADLINE SMOKE_BW_RESERVE_S=4500
+export SMOKE_PT_EPOCHS=1 SMOKE_PT_STEPS=300 SMOKE_BW_EPOCHS=2
+export SMOKE_DEADLINE_TS=$DEADLINE SMOKE_BW_RESERVE_S=0
 
-for attempt in 1 2 3; do
+for attempt in 3 4; do
   if [ "$(date -u +%s)" -ge "$DEADLINE" ]; then
     echo "[queue2] deadline passed, not starting attempt $attempt" >> /tmp/queue_r3.log
     break
