@@ -86,6 +86,13 @@ def _add_common(p: argparse.ArgumentParser):
                    help="pretrain: optimizer steps fused per device call "
                         "(lax.scan); default 25 on TPU, 1 elsewhere — "
                         "amortizes dispatch latency on tunneled chips")
+    p.add_argument("--eval-chunk", type=int, default=10,
+                   help="smoke: test-set sub-batch per fused "
+                        "sample->solve->metrics program (HBM footprint "
+                        "scales with it; 10 fits the reference B=50 test "
+                        "set on a 16 GB chip); 0 = whole test set at once")
+    p.add_argument("--cal-chunk", type=int, default=50,
+                   help="smoke: calibration sub-batch per device call")
     p.add_argument("--from-phase", default="pretrain",
                    choices=("pretrain", "posttrain", "infft"),
                    help="eval: which phase's checkpoint to load")
@@ -375,7 +382,7 @@ def run_smoke(args) -> int:
     from safediffcon_tpu.tasks.smoke import (
         SmokeConformalConfig, SmokeDataset, SmokePipeline, SmokePretrainConfig,
         finetune_config, generate_smoke_dataset, posttrain_config, pretrain,
-        run_inference,
+        run_inference_resilient,
     )
 
     data_path = args.data or os.path.join(args.out, "smoke.npz")
@@ -400,22 +407,30 @@ def run_smoke(args) -> int:
         # sweep mode reloads per milestone; skip the redundant upfront load
         params, _ = _load_params(args, args.out, "smoke")
 
+    # chunk sizes bound the fused programs' HBM footprint at reference
+    # test/cal sizes (pipeline.py eval_chunk comment); 0 = unchunked
+    chunk_kw = dict(eval_chunk=args.eval_chunk or None,
+                    cal_chunk=args.cal_chunk or None)
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
-        pipe = SmokePipeline(
+        make_pipe = lambda: SmokePipeline(
             cfg.conformal, dim=dim,
             finetune_set="test" if cfg.backward_finetune else "train",
+            **chunk_kw,
         )
         train = _dispatch_load(SmokeDataset, data_path, "train")
         cal = _dispatch_load(SmokeDataset, data_path, "cal")
         test = _dispatch_load(SmokeDataset, data_path, "test")
-        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test,
-                                           state_dir=_phase_state_dir(args, "smoke"))
+        # resilient: a TPU-worker crash mid-phase re-inits the backend and
+        # resumes from the epoch-granular phase state (utils/faults.py)
+        params, Q, metrics = run_inference_resilient(
+            cfg, make_pipe, params, train, cal, test,
+            state_dir=_phase_state_dir(args, "smoke"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
-        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim)
+        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim, **chunk_kw)
         cal = _dispatch_load(SmokeDataset, data_path, "cal")
         test = _dispatch_load(SmokeDataset, data_path, "test")
 

@@ -249,6 +249,7 @@ def ancestral_sample(
     proj_guidance: Optional[Callable] = None,
     guidance_on_x0: bool = True,
     recurrence: bool = False,
+    fix_final_step: bool = True,
 ) -> jnp.ndarray:
     """Guided ancestral (DDPM) sampling loop as one lax.scan.
 
@@ -334,14 +335,19 @@ def ancestral_sample(
     (img, rng), _ = jax.lax.scan(body, (img, rng), times)
     if final_step_grad:
         img = jax.lax.stop_gradient(img)
-    # Intentional fix of a reference quirk: with guidance_on_x0=False the
-    # reference's t=0 iteration computes the guided update but never writes
-    # it back (p_sample_loop leaves `img` untouched on the last step when
-    # guidance_u0=False, 1D/model/diffusion.py:404-449), discarding the
-    # final denoise. We apply the full guided posterior update at t=0 in
-    # both guidance modes — so outputs in this mode differ from the
-    # reference at exactly the last step (by design, not a parity bug).
-    img, _ = p_sample(params, img, 0, rng)
+    # Intentional fix of a reference quirk (default fix_final_step=True):
+    # with guidance_on_x0=False the reference's t=0 iteration computes the
+    # guided update but never writes it back (p_sample_loop leaves `img`
+    # untouched on the last step when guidance_u0=False,
+    # 1D/model/diffusion.py:404-449), discarding the final denoise. We
+    # apply the full guided posterior update at t=0 in both guidance modes
+    # — so outputs in this mode differ from the reference at exactly the
+    # last step (by design, not a parity bug). Strict output-parity
+    # harnesses can opt back into the reference quirk with
+    # fix_final_step=False, which skips the t=0 update exactly as the
+    # reference does in that mode.
+    if fix_final_step or guidance_on_x0 or guidance_grad is None:
+        img, _ = p_sample(params, img, 0, rng)
     return img
 
 

@@ -412,8 +412,11 @@ def run_train_loop(
         step += kk
         # keep losses as device futures — a float() here would block the
         # host on every step and serialize dispatches over the (high
-        # latency) tunnel; sync only at log boundaries
-        pending_losses.append((loss, kk))
+        # latency) tunnel; sync only at log boundaries. Without a logger
+        # nothing ever drains the list, so don't grow it (loss errors then
+        # surface at the checkpoint/final sync instead).
+        if logger:
+            pending_losses.append((loss, kk))
         if logger and step - last_log >= log_every:
             tot = sum(float(l) * n_ for l, n_ in pending_losses)
             cnt = sum(n_ for _, n_ in pending_losses)

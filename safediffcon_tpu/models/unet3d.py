@@ -179,6 +179,13 @@ class UNet3D(nn.Module):
     resnet_groups: int = 8
     compute_dtype: jnp.dtype = jnp.float32
     use_remat: bool = True  # rematerialize blocks: trade FLOPs for HBM
+    # remat granularity: "full" recomputes everything inside each block in
+    # the backward pass (minimum HBM, ~+30% recompute FLOPs measured on the
+    # round-3 roofline); "save_heavy" saves conv/matmul OUTPUTS and only
+    # recomputes the cheap elementwise tail (GroupNorm/silu/adds) — trades
+    # a little HBM for skipping the expensive MXU recompute, the main lever
+    # on the train-step MFU when the batch still fits.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, t):
@@ -193,8 +200,16 @@ class UNet3D(nn.Module):
         # what lets reference-scale training (batch 16, 32 frames, 64^2)
         # fit in one chip's HBM.
         if self.use_remat:
-            RB3 = nn.remat(ResnetBlock3D)
-            PNR = nn.remat(_PreNormResidual3D)
+            if self.remat_policy == "save_heavy":
+                # save every MXU-op output; recompute only VPU elementwise
+                def _policy(prim, *_, **__):
+                    return prim.name in ("conv_general_dilated", "dot_general")
+            elif self.remat_policy == "full":
+                _policy = None
+            else:
+                raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+            RB3 = nn.remat(ResnetBlock3D, policy=_policy)
+            PNR = nn.remat(_PreNormResidual3D, policy=_policy)
             # keep scope names identical to the un-rematted model so
             # checkpoints are interchangeable across the flag
             RB3.__name__ = "ResnetBlock3D"

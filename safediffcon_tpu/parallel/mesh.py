@@ -48,6 +48,10 @@ def auto_mesh(min_devices: int = 2, sp: int = 1) -> Optional[Mesh]:
     the frame axis — sequence parallelism for the UNet3D's video frame
     dimension (CLI: `--sp N`). Devices not filling dp*sp stay idle."""
     n = jax.device_count()
+    if sp > 1 and sp > n:
+        raise SystemExit(
+            f"--sp {sp} exceeds the {n} visible device(s); sequence "
+            f"parallelism needs at least sp devices on the frame axis")
     if n >= min_devices:
         if sp > 1:
             mesh = get_mesh_2d(max(1, n // sp), sp)

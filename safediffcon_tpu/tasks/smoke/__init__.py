@@ -14,4 +14,6 @@ from safediffcon_tpu.tasks.smoke.config import (
     posttrain_config,
 )
 from safediffcon_tpu.tasks.smoke.data import SmokeDataset, generate_smoke_dataset
-from safediffcon_tpu.tasks.smoke.pipeline import SmokePipeline, pretrain, run_inference
+from safediffcon_tpu.tasks.smoke.pipeline import (
+    SmokePipeline, pretrain, run_inference, run_inference_resilient,
+)

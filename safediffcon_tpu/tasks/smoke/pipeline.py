@@ -82,7 +82,7 @@ class SmokePipeline:
         solver_backend: str = "auto",  # "auto" -> pallas on TPU, xla on CPU
         finetune_set: str = "train",
         cal_chunk: int = 50,
-        eval_chunk: Optional[int] = None,
+        eval_chunk: Optional[int] = 10,
     ):
         self.ccfg = conf_cfg
         self.cal_chunk = cal_chunk  # chip-efficient calibration sub-batching
@@ -90,7 +90,9 @@ class SmokePipeline:
         # HBM footprint scales with batch (the 64^2-resolution temporal
         # attention materializes (B*HW, heads, T, T) f32 scores — 24 GB at
         # B=50 on a 15.75 GB chip, measured via AOT compile); chunking the
-        # test set keeps the program resident. None = whole test set at once.
+        # test set keeps the program resident. The default of 10 fits the
+        # reference test size B=50 on a 15.75 GB chip; None = whole test
+        # set at once (only safe for small test sets / big-HBM devices).
         self.eval_chunk = eval_chunk
         self.task_cfg = SmokeTaskConfig(
             safe_bound=conf_cfg.safe_bound,
@@ -111,9 +113,14 @@ class SmokePipeline:
         )
         self.masks = S.build_masks()
         if solver_backend == "auto":
-            # the Pallas CG kernel targets TPU VMEM specifically; any other
-            # backend (cpu, gpu) takes the pure-XLA path
-            solver_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # "auto" resolves to the pure-XLA CG on every backend. The
+            # Pallas VMEM kernel (ops/pressure_cg.py, ~2x faster on the
+            # pressure solve in isolation) is opt-in (backend="pallas"):
+            # three round-3 at-scale 2D runs lost the TPU worker to kernel
+            # faults whose common factor was long sampler+rollout programs
+            # running this kernel (experiments/smoke_backward_crash_round3.log);
+            # until the fault is root-caused the stable path is the default.
+            solver_backend = "xla"
         self.solver_kw = dict(
             accuracy=solver_accuracy, max_iter=solver_max_iter,
             time_scale=solver_time_scale, space_scale=solver_space_scale,
@@ -195,21 +202,17 @@ class SmokePipeline:
         # inverted-alpha rank convention (reference: 2d/inference_2d.py:150-165)
         return weighted_quantile(weights * scores, self.ccfg.alpha, "one_minus_alpha")
 
-    # per-dataset cache of the two statistics the weight formula needs —
-    # recomputing them per epoch would re-read (and on a tunneled TPU,
-    # re-ship) the full (N, 32, 64, 64, 7) train tensor every epoch
-    _stats_cache: dict = {}
-
     def reweights(self, data: SmokeDataset, Q, batch_size: int = 256) -> np.ndarray:
         """Per-sample train-shift weights exp(-ratio * guidance(x, Q)).
 
         The guidance loss reduces each record to two statistics (mean smoke
         rate over all frames, spatial-mean final-frame safe rate —
-        guidance_values above); those are computed ONCE per dataset on host
-        and the per-Q weight formula is evaluated from them, identical math
-        to shipping the full tensors through _weights_batch."""
-        key = id(data)
-        stats = SmokePipeline._stats_cache.get(key)
+        guidance_values above); those are computed ONCE per dataset (cached
+        as a lazy attribute on the dataset instance, so the cache dies with
+        the dataset) and the per-Q weight formula is evaluated from them,
+        identical math to shipping the full tensors through
+        _weights_batch."""
+        stats = getattr(data, "_weight_stats", None)
         if stats is None:
             from safediffcon_tpu.tasks.smoke.task import SAFE, SMOKE
 
@@ -219,7 +222,7 @@ class SmokePipeline:
             safe_final = (x[:, -1, :, :, SAFE].mean(axis=(1, 2), dtype=np.float32)
                           * np.float32(RESCALER[SAFE]))
             stats = (smoke_mean, safe_final)
-            SmokePipeline._stats_cache[key] = stats
+            data._weight_stats = stats
         smoke_mean, safe_final = stats
         tc = self.task_cfg
         g = -(1.0 - tc.w_safe) * smoke_mean + tc.w_safe * np.maximum(
@@ -570,3 +573,48 @@ def run_inference(
         if on_epoch is not None:
             on_epoch(all_metrics[-1])
     return params, Q, all_metrics
+
+
+def run_inference_resilient(
+    cfg: SmokeInferenceConfig,
+    make_pipeline,
+    params,
+    train_data: Optional[SmokeDataset],
+    cal_data: SmokeDataset,
+    test_data: SmokeDataset,
+    on_epoch=None,
+    deadline: Optional[float] = None,
+    state_dir: Optional[str] = None,
+    fault_retries: int = 2,
+    backoff_s: float = 30.0,
+):
+    """`run_inference` that survives a TPU worker crash mid-phase.
+
+    Round 3 lost three at-scale 2D runs to "UNAVAILABLE: TPU worker process
+    crashed or restarted" faults; the bash retry loop around the process is
+    now in code: on a device fault the dead PJRT client is dropped
+    (utils/faults.reinit_backend), a FRESH pipeline is built via
+    `make_pipeline()` — the old one's jitted programs capture now-dead
+    device constants (schedule tables, solver masks) — and the phase loop
+    re-enters, resuming bit-identically from the last epoch persisted in
+    `state_dir` (fold_in per-epoch RNG + saved params/opt/Q-hat).
+
+    `make_pipeline`: zero-arg factory returning a SmokePipeline. `params`
+    is snapshotted to host up front so no retry depends on dead buffers.
+    Without `state_dir` a fault replays the phase from epoch 0 (correct,
+    just wasteful).
+    """
+    from safediffcon_tpu.utils.faults import retry_on_device_fault
+
+    params_host = jax.device_get(params)
+
+    def _attempt():
+        pipe = make_pipeline()
+        return run_inference(
+            cfg, pipe, params_host, train_data, cal_data, test_data,
+            on_epoch=on_epoch, deadline=deadline, state_dir=state_dir,
+        )
+
+    return retry_on_device_fault(
+        _attempt, retries=fault_retries, backoff_s=backoff_s,
+        describe="smoke finetune")

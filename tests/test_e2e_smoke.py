@@ -186,6 +186,69 @@ def test_posttrain_device_pool_matches_host_stream(tiny_data):
     assert np.isfinite(hist[-1]["loss"])
 
 
+def test_run_inference_resilient_fault_recovery(tiny_data, tmp_path, monkeypatch):
+    """A simulated TPU-worker crash mid-phase (UNAVAILABLE at the pipeline
+    seam, here epoch 1's calibration) is recovered in-code: the backend is
+    re-initialized, the pipeline rebuilt via the factory, and the run
+    resumes from the persisted epoch state — final params/Q bit-identical
+    to an uninterrupted run."""
+    from safediffcon_tpu.tasks.smoke.pipeline import (
+        init_params, run_inference_resilient,
+    )
+    from safediffcon_tpu.utils import faults
+
+    # the fault is simulated, the CPU backend is fine — don't actually drop
+    # it (other tests in this process hold live device arrays)
+    monkeypatch.setattr(faults, "reinit_backend", lambda: None)
+
+    conf = _tiny_conf()
+    pipe_kw = dict(dim=8, dim_mults=(1, 2), solver_accuracy=1e-4,
+                   solver_max_iter=60, solver_time_scale=TIME_SCALE,
+                   solver_space_scale=SPACE_SCALE)
+    params = init_params(SmokePipeline(conf, **pipe_kw).model,
+                         jax.random.PRNGKey(0),
+                         frames=N_FRAMES // TIME_SCALE, size=64 // SPACE_SCALE)
+    cfg2 = SmokeInferenceConfig(conformal=conf, finetune_epoch=2,
+                                finetune_steps=2, finetune_batch_size=3)
+
+    pA, QA, hA = run_inference(
+        cfg2, SmokePipeline(conf, **pipe_kw), params,
+        tiny_data["train"], tiny_data["cal"], tiny_data["test"])
+
+    calls = {"n": 0}
+
+    class FaultingPipeline(SmokePipeline):
+        def calibrate(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # epoch 1's calibration, after epoch 0 saved
+                raise jax.errors.JaxRuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted "
+                    "(simulated)")
+            return super().calibrate(*a, **kw)
+
+    pB, QB, hB = run_inference_resilient(
+        cfg2, lambda: FaultingPipeline(conf, **pipe_kw), params,
+        tiny_data["train"], tiny_data["cal"], tiny_data["test"],
+        state_dir=str(tmp_path / "fault_state"), backoff_s=0.0)
+
+    assert calls["n"] >= 3  # faulted once, then epoch 1 cal re-ran
+    assert [h["epoch"] for h in hB] == [0, 1]
+    np.testing.assert_allclose(float(QA), float(QB), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(pA), jax.tree_util.tree_leaves(pB)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a NON-fault error must propagate immediately, not retry
+    class BrokenPipeline(SmokePipeline):
+        def calibrate(self, *a, **kw):
+            raise ValueError("program bug")
+
+    with pytest.raises(ValueError, match="program bug"):
+        run_inference_resilient(
+            cfg2, lambda: BrokenPipeline(conf, **pipe_kw), params,
+            tiny_data["train"], tiny_data["cal"], tiny_data["test"],
+            backoff_s=0.0)
+
+
 def test_run_inference_phase_resume_exact(tiny_data, tiny_pipeline, tmp_path):
     """A crash-resumed posttrain phase is bit-identical to an uninterrupted
     one: per-epoch RNG is fold_in-derived and `state_dir` persists

@@ -13,12 +13,41 @@ def masks():
     return S.build_masks()
 
 
-def test_matches_xla_cg(masks):
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_matches_xla_cg(masks, variant):
     rng = np.random.default_rng(0)
     div = jnp.asarray(rng.normal(size=(2, 127, 127)).astype(np.float32))
     ref = S.pressure_solve(masks, div, 1e-6, 500)
-    pal = pressure_solve_pallas(masks, div, 1e-6, 500, interpret=True)
+    pal = pressure_solve_pallas(masks, div, 1e-6, 500, interpret=True,
+                                variant=variant)
     assert float(jnp.abs(ref - pal).max()) < 1e-3
+
+
+def test_v2_warm_start_and_padded_chunk(masks):
+    """v2 with a warm start and a batch that pads to a CHUNK multiple (the
+    padded zero samples must stay exactly zero and NaN-free through the
+    extra fixed-K iterations — exercises the safe-divide guards)."""
+    rng = np.random.default_rng(3)
+    div = jnp.asarray(rng.normal(size=(3, 127, 127)).astype(np.float32))
+    ref = S.pressure_solve(masks, div, 1e-6, 500)
+    warm = ref + 0.01 * jnp.asarray(
+        rng.normal(size=div.shape).astype(np.float32))
+    pal = pressure_solve_pallas(masks, div, 1e-6, 500, interpret=True,
+                                guess=warm, variant="v2")
+    assert np.isfinite(np.asarray(pal)).all()
+    assert float(jnp.abs(ref - pal).max()) < 1e-3
+
+
+def test_v2_already_converged_guess_is_stable(masks):
+    """An exact-solution warm start converges in zero blocks (the XLA-level
+    cond is false immediately) and returns the guess unchanged."""
+    rng = np.random.default_rng(4)
+    div = jnp.asarray(rng.normal(size=(1, 127, 127)).astype(np.float32))
+    x = pressure_solve_pallas(masks, div, 1e-5, 500, interpret=True)
+    again = pressure_solve_pallas(masks, div, 1e-3, 500, interpret=True,
+                                  guess=x)
+    assert np.isfinite(np.asarray(again)).all()
+    assert float(jnp.abs(again - x).max()) < 1e-3
 
 
 def test_residual_below_tolerance(masks):
