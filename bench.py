@@ -128,4 +128,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # A faulted TPU worker (round-3 failure mode: "UNAVAILABLE: TPU worker
+    # process crashed or restarted") can recover between attempts — retry
+    # with a backend re-init so a transient fault doesn't cost the round's
+    # perf artifact.
+    from safediffcon_tpu.utils.faults import retry_on_device_fault
+
+    retry_on_device_fault(main, retries=2, backoff_s=60.0, describe="bench")

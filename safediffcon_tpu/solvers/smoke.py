@@ -259,11 +259,12 @@ def divergence_free(
     next frame's warm start. backend="pallas" uses the VMEM-resident
     chunked-CG TPU kernel (ops/pressure_cg.py, ~2x faster on a v5e chip)."""
     v = v * masks.velocity_mask
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_v1"):
         from safediffcon_tpu.ops.pressure_cg import pressure_solve_pallas
 
-        p = pressure_solve_pallas(masks, divergence(v), accuracy, max_iter,
-                                  guess=p_guess)
+        p = pressure_solve_pallas(
+            masks, divergence(v), accuracy, max_iter, guess=p_guess,
+            variant="v1" if backend == "pallas_v1" else "v2")
     else:
         p = pressure_solve(masks, divergence(v), accuracy, max_iter, guess=p_guess)
     v = v - pressure_gradient(p) * masks.velocity_mask

@@ -31,6 +31,10 @@ class SmokePretrainConfig:
     checkpoint_every: int = 10_000
     gradient_accumulate_every: int = 1
     compute_dtype: str = None  # "bfloat16" for TPU production
+    # UNet3D remat granularity for the train step: "full" (min HBM, +~30%
+    # recompute) or "save_heavy" (save conv/dot outputs — the MFU lever,
+    # models/unet3d.py). Checkpoints are interchangeable across settings.
+    remat_policy: str = "full"
     seed: int = 42
 
 

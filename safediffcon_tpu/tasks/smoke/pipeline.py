@@ -56,9 +56,11 @@ from safediffcon_tpu.tasks.smoke.metrics import evaluate_samples, solver_rollout
 log = logging.getLogger(__name__)
 
 
-def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None):
+def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None,
+                remat_policy="full"):
     dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
-    return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt)
+    return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt,
+                  remat_policy=remat_policy)
 
 
 def init_params(model, rng, frames=32, size=64):
@@ -279,7 +281,8 @@ def pretrain(
     pool_refresh_every: int = 0,
 ):
     num_steps = num_steps or cfg.train_num_steps
-    model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None))
+    model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None),
+                        remat_policy=getattr(cfg, 'remat_policy', 'full'))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,

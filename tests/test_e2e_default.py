@@ -28,7 +28,9 @@ def test_burgers_pipeline_wiring(tmp_path):
     )
 
     path = str(tmp_path / "b.npz")
-    generate_burgers_dataset(path, n_train=4, n_cal=4, n_test=2, seed=0, nx=16)
+    # nx=32 (not 16): the coarser grid produced solver-exploding controls
+    # from the barely-trained net; 32 matches the proven slow-e2e config
+    generate_burgers_dataset(path, n_train=4, n_cal=4, n_test=2, seed=0, nx=32)
     train = BurgersDataset.load(path, "train")
     cal = BurgersDataset.load(path, "cal")
     test = BurgersDataset.load(path, "test")
@@ -38,18 +40,20 @@ def test_burgers_pipeline_wiring(tmp_path):
                                 checkpoint_every=10**9)
     state = pretrain(pre, train, num_steps=2)
 
+    # timesteps stays 1000 (the 4-step schedule produced solver-exploding
+    # samples from the barely-trained net); DDIM 4 keeps sampling cheap
     ccfg = BurgersConformalConfig(
         cal_batch_size=4, num_cal_batch=1, n_cal_samples=4, n_test_samples=2,
-        test_batch_size=2, ddim_sampling_steps=2, timesteps=4, w_score=5.0)
+        test_batch_size=2, ddim_sampling_steps=4, w_score=5.0)
     pipe = BurgersPipeline(ccfg, dim=8, dim_mults=(1, 2))
     pt = BurgersPostTrainConfig(conformal=ccfg, finetune_epoch=1,
                                 finetune_steps=1, finetune_batch_size=2,
                                 finetune_subset_size=4)
-    _, Q, hist = posttrain(pt, pipe, state.params, train, cal, test,
-                           eval_every_subset_epoch=False)
+    st, Q, hist = posttrain(pt, pipe, state.params, train, cal, test,
+                            eval_every_subset_epoch=False)
     assert np.isfinite(float(Q))
-    assert len(hist) == 1
-    ev = hist[-1]["eval"]
+    assert len(hist) == 1 and np.isfinite(hist[-1]["loss"])
+    ev = pipe.evaluate(st.ema_params, test, Q, jax.random.PRNGKey(1))
     assert np.isfinite(ev["control_mse_mean (J)"])
     assert np.isfinite(ev["sample_exceed_ratio (R_s)"])
 
@@ -65,7 +69,8 @@ def test_tokamak_pipeline_wiring(tmp_path):
     generate_tokamak_dataset(path, n_train=4, n_cal=4, n_test=2, gen_batch=10)
     data = {s: TokamakDataset.load(path, s) for s in ("train", "cal", "test")}
 
-    pre = TokamakPretrainConfig(dim=8, dim_mults=(1, 2), groups=1,
+    pre = TokamakPretrainConfig(dim=8, dim_mults=(1, 2),
+                                resnet_block_groups=1,
                                 timesteps=4, batch_size=2,
                                 checkpoint_every=10**9)
     state = pretrain(pre, data["train"], num_steps=2)
@@ -75,7 +80,7 @@ def test_tokamak_pipeline_wiring(tmp_path):
         test_batch_size=2, ddim_sampling_steps=2, timesteps=4)
     pipe = TokamakPipeline(ccfg, dim=8, dim_mults=(1, 2), groups=1)
     cfg = TokamakInferenceConfig(conformal=ccfg, finetune_epoch=1,
-                                 finetune_steps=1, finetune_batch_size=2)
+                                 finetune_steps=1)
     _, Q, hist = run_inference(cfg, pipe, state.params, data["train"],
                                data["cal"], data["test"])
     assert np.isfinite(float(Q))
