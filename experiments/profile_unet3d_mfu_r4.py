@@ -43,10 +43,10 @@ dcfg = DiffusionConfig(timesteps=1000)
 cond = train_conditioner()
 
 
-def bench_config(remat, policy, batch, label):
+def bench_config(remat, policy, batch, label, conv_impl="xla"):
     model = UNet3D(dim=64, dim_mults=(1, 2, 4), channels=CH,
                    compute_dtype=jnp.bfloat16, use_remat=remat,
-                   remat_policy=policy)
+                   remat_policy=policy, conv_impl=conv_impl)
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, FRAMES, SIZE, SIZE, CH))
@@ -159,6 +159,15 @@ def op_sweep(batch=7):
         flops = 2.0 * batch * FRAMES * hw * hw * 27 * ch * ch
         bench_op(f"conv3x3x3_c{ch}_s{hw}",
                  lambda pp, xx, m=conv: m.apply(pp, xx), p, x, flops=flops)
+        # the Pallas fused im2col kernel at the same shape (K = 27*ch)
+        from safediffcon_tpu.ops.conv3d_mxu import conv3d_fused
+
+        kf = jnp.asarray(rng.normal(size=(3, 3, 3, ch, ch))
+                         .astype(np.float32) / np.sqrt(27 * ch),
+                         dtype=jnp.bfloat16)
+        bench_op(f"conv3x3x3_pallas_c{ch}_s{hw}",
+                 lambda kk, xx: conv3d_fused(xx, kk, min(8, hw)), kf, x,
+                 flops=flops)
         # GroupNorm(8)
         gn = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=jnp.bfloat16)
         pgn = gn.init(jax.random.PRNGKey(0), x)
@@ -204,19 +213,21 @@ if __name__ == "__main__":
     if os.environ.get("MFU_OPS", "1") == "1":
         op_sweep()
     configs = [
-        ("full_b7", True, "full", 7),
-        ("save_heavy_b7", True, "save_heavy", 7),
-        ("save_heavy_b14", True, "save_heavy", 14),
-        ("none_b7", False, "full", 7),
-        ("full_b14", True, "full", 14),
+        ("full_b7", True, "full", 7, "xla"),
+        ("save_heavy_b7", True, "save_heavy", 7, "xla"),
+        ("save_heavy_b14", True, "save_heavy", 14, "xla"),
+        ("none_b7", False, "full", 7, "xla"),
+        ("full_b14", True, "full", 14, "xla"),
+        ("pallas_conv_b7", True, "full", 7, "pallas"),
+        ("pallas_conv_save_heavy_b7", True, "save_heavy", 7, "pallas"),
     ]
     sel = os.environ.get("MFU_CONFIGS")
     if sel is not None:
         names = set(n for n in sel.split(",") if n)
         configs = [c for c in configs if c[0] in names]
-    for label, remat, policy, batch in configs:
+    for label, remat, policy, batch, conv_impl in configs:
         try:
-            bench_config(remat, policy, batch, label)
+            bench_config(remat, policy, batch, label, conv_impl=conv_impl)
         except Exception as e:  # OOM configs are informative, not fatal
             msg = str(e).splitlines()[0][:300]
             print(json.dumps({"label": label, "error": msg}), flush=True)

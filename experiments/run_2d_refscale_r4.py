@@ -57,6 +57,7 @@ OUT = "/root/repo/experiments/validation_2d_refscale_round4.json"
 
 PRETRAIN_STEPS = int(os.environ.get("SMOKE_PRETRAIN_STEPS", 30000))
 REMAT_POLICY = os.environ.get("SMOKE_REMAT_POLICY", "full")
+CONV_IMPL = os.environ.get("SMOKE_CONV_IMPL", "xla")
 PT_EPOCHS = int(os.environ.get("SMOKE_PT_EPOCHS", 8))
 PT_STEPS = int(os.environ.get("SMOKE_PT_STEPS", 4000))
 BW_EPOCHS = int(os.environ.get("SMOKE_BW_EPOCHS", 4))
@@ -98,7 +99,8 @@ if not os.path.exists(CKPT_DIR):
 
 pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
                           checkpoint_every=int(os.environ.get("SMOKE_CKPT_EVERY", 5000)),
-                          compute_dtype="bfloat16", remat_policy=REMAT_POLICY)
+                          compute_dtype="bfloat16", remat_policy=REMAT_POLICY,
+                          conv_impl=CONV_IMPL)
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
                  checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
                  steps_per_call=int(os.environ.get("SMOKE_K", 1)),

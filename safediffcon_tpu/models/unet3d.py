@@ -127,15 +127,44 @@ class SpatialLinearAttention3D(nn.Module):
         return out.reshape(b, f, hh, ww, c)
 
 
+class FusedConv3x3x3(nn.Module):
+    """Drop-in nn.Conv(kernel_size=(3,3,3), SAME) replacement backed by the
+    Pallas im2col MXU kernel (ops/conv3d_mxu.py). Identical param pytree
+    ('kernel' (3,3,3,Cin,Cout) + 'bias'), so checkpoints are
+    interchangeable with the XLA path."""
+
+    features: int
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        from safediffcon_tpu.ops.conv3d_mxu import conv3d_fused
+
+        cin = x.shape[-1]
+        # params stay float32 (flax param_dtype convention — matches
+        # nn.Conv, so checkpoints interchange); compute casts to dtype
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        out = conv3d_fused(x.astype(dt), kernel.astype(dt))
+        return out + bias.astype(dt)
+
+
 class Block3D(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = None
+    conv_impl: str = "xla"  # "xla" (lax.conv) | "pallas" (fused im2col MXU)
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
-                    dtype=self.dtype)(x)
+        if self.conv_impl == "pallas":
+            x = FusedConv3x3x3(self.dim_out, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -147,6 +176,7 @@ class ResnetBlock3D(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -155,8 +185,10 @@ class ResnetBlock3D(nn.Module):
             h_t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
             h_t = h_t.reshape(h_t.shape[0], 1, 1, 1, h_t.shape[-1])
             scale_shift = jnp.split(h_t, 2, axis=-1)
-        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype)(x, scale_shift)
-        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype)(h)
+        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype,
+                    conv_impl=self.conv_impl)(x, scale_shift)
+        h = Block3D(self.dim_out, groups=self.groups, dtype=self.dtype,
+                    conv_impl=self.conv_impl)(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
         return h + x
@@ -186,6 +218,11 @@ class UNet3D(nn.Module):
     # a little HBM for skipping the expensive MXU recompute, the main lever
     # on the train-step MFU when the batch still fits.
     remat_policy: str = "full"
+    # 3x3x3 conv implementation: "xla" (lax.conv, default) | "pallas"
+    # (ops/conv3d_mxu.py fused im2col — full-lane K=27*C contractions;
+    # opt-in until the on-chip A/B certifies a win). Param pytrees are
+    # identical, so checkpoints interchange across the flag.
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, t):
@@ -239,8 +276,8 @@ class UNet3D(nn.Module):
         h = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
+            x = RB3(dim_out, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = PNR(
                 SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
@@ -259,7 +296,7 @@ class UNet3D(nn.Module):
                 )(x)
 
         mid_dim = dims[-1]
-        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
         # Mid spatial FULL attention per frame.
         b_, f_, hh_, ww_, c_ = x.shape
 
@@ -294,13 +331,13 @@ class UNet3D(nn.Module):
         x = PNR(
             TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
         )(x, pos_bias=pos_bias)
-        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+        x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i >= num_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
-            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty)(x, time_emb)
+            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
+            x = RB3(dim_in, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = PNR(
                 SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
             )(x)
@@ -318,6 +355,6 @@ class UNet3D(nn.Module):
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = RB3(self.dim, groups=self.resnet_groups, dtype=dty)(x)
+        x = RB3(self.dim, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x)
         out = nn.Conv(self.channels, kernel_size=(1, 1, 1), name="final_conv", dtype=dty)(x)
         return out.astype(jnp.float32)

@@ -35,6 +35,8 @@ class SmokePretrainConfig:
     # recompute) or "save_heavy" (save conv/dot outputs — the MFU lever,
     # models/unet3d.py). Checkpoints are interchangeable across settings.
     remat_policy: str = "full"
+    # 3x3x3 conv implementation ("xla" | "pallas"): models/unet3d.py
+    conv_impl: str = "xla"
     seed: int = 42
 
 

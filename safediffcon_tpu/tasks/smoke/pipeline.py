@@ -57,10 +57,10 @@ log = logging.getLogger(__name__)
 
 
 def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None,
-                remat_policy="full"):
+                remat_policy="full", conv_impl="xla"):
     dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt,
-                  remat_policy=remat_policy)
+                  remat_policy=remat_policy, conv_impl=conv_impl)
 
 
 def init_params(model, rng, frames=32, size=64):
@@ -282,7 +282,8 @@ def pretrain(
 ):
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None),
-                        remat_policy=getattr(cfg, 'remat_policy', 'full'))
+                        remat_policy=getattr(cfg, 'remat_policy', 'full'),
+                        conv_impl=getattr(cfg, 'conv_impl', 'xla'))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,
