@@ -208,10 +208,51 @@ def op_sweep(batch=7):
              lambda pp, xx, m=cu: m.apply(pp, xx), pu, xu)
 
 
+def op_sweep_1d(batch=50):
+    """Per-op timing at the 1D bench's UNet2D shapes (dim 128, mults
+    (1,2,4,8), 16x128 spatial, batch 50 — the config whose guided DDIM
+    step measures 57.9% MFU with the residual 1.73x 'inside the
+    conv/attention kernels', BASELINE.md round-3 closure). Identifies
+    which kernel carries the residual."""
+    import flax.linen as nn
+
+    from safediffcon_tpu.models.layers import Attention, LinearAttention
+
+    rng = np.random.default_rng(0)
+    # (channels, (h, w)) per level: spatial halves in BOTH dims per level
+    levels = [(128, (16, 128)), (256, (8, 64)), (512, (4, 32)),
+              (1024, (2, 16))]
+    for ch, (hh, ww) in levels:
+        x = jnp.asarray(rng.normal(size=(batch, hh, ww, ch))
+                        .astype(np.float32), dtype=jnp.bfloat16)
+        conv = nn.Conv(ch, kernel_size=(3, 3), padding="SAME",
+                       dtype=jnp.bfloat16)
+        p = conv.init(jax.random.PRNGKey(0), x)
+        flops = 2.0 * batch * hh * ww * 9 * ch * ch
+        bench_op(f"1d_conv3x3_c{ch}_s{hh}x{ww}",
+                 lambda pp, xx, m=conv: m.apply(pp, xx), p, x, flops=flops)
+        la = LinearAttention(4, 32, dtype=jnp.bfloat16)
+        pla = la.init(jax.random.PRNGKey(0), x)
+        bench_op(f"1d_linattn_c{ch}_s{hh}x{ww}",
+                 lambda pp, xx, m=la: m.apply(pp, xx), pla, x)
+    # mid full attention at the bottleneck
+    xm = jnp.asarray(rng.normal(size=(batch, 2, 16, 1024))
+                     .astype(np.float32), dtype=jnp.bfloat16)
+    at = Attention(4, 32, dtype=jnp.bfloat16)
+    pat = at.init(jax.random.PRNGKey(0), xm)
+    bench_op("1d_midattn_c1024_s2x16",
+             lambda pp, xx, m=at: m.apply(pp, xx), pat, xm)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     if os.environ.get("MFU_OPS", "1") == "1":
         op_sweep()
+    if os.environ.get("MFU_OPS_1D", "1") == "1":
+        try:
+            op_sweep_1d()
+        except Exception as e:  # noqa: BLE001 — layer-shape drift shouldn't kill the 3D sweep
+            print(json.dumps({"op": "1d_sweep", "error": str(e)[:300]}), flush=True)
     configs = [
         ("full_b7", True, "full", 7, "xla"),
         ("save_heavy_b7", True, "save_heavy", 7, "xla"),

@@ -282,19 +282,22 @@ def run_burgers(args) -> int:
     cal = _dispatch_load(BurgersDataset, data_path, "cal")
     test = _dispatch_load(BurgersDataset, data_path, "test")
 
+    make_pipe = lambda: P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
     if args.phase == "posttrain":
         cfg = BurgersPostTrainConfig(seed=args.seed)
         finetune = _dispatch_load(BurgersDataset, data_path, "train", subset=cfg.finetune_subset_size)
-        state, Q, metrics = P.posttrain(cfg, pipe, params, finetune, cal, test,
-                                        finetune_steps=args.steps,
-                                        state_dir=_phase_state_dir(args, "burgers"))
+        state, Q, metrics = P.posttrain_resilient(
+            cfg, make_pipe, params, finetune, cal, test,
+            finetune_steps=args.steps,
+            state_dir=_phase_state_dir(args, "burgers"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, "burgers-posttrain"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_posttrain_results.json", metrics))
     elif args.phase == "infft":
         cfg = BurgersInfFTConfig(seed=args.seed)
-        state, Q, metrics = P.inference_finetune(cfg, pipe, params, cal, test,
-                                                 state_dir=_phase_state_dir(args, "burgers"))
+        state, Q, metrics = P.inference_finetune_resilient(
+            cfg, make_pipe, params, cal, test,
+            state_dir=_phase_state_dir(args, "burgers"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, "burgers-infft"), state.ema_params, Q)
         print(_save_results(args.out, "burgers_infft_results.json", metrics))
@@ -321,7 +324,7 @@ def run_tokamak(args) -> int:
     from safediffcon_tpu.tasks.tokamak import (
         TokamakConformalConfig, TokamakDataset, TokamakPipeline,
         TokamakPretrainConfig, finetune_config, generate_tokamak_dataset,
-        posttrain_config, pretrain, run_inference,
+        posttrain_config, pretrain, run_inference_resilient,
     )
 
     data_path = args.data or os.path.join(args.out, "tokamak.npz")
@@ -348,12 +351,13 @@ def run_tokamak(args) -> int:
 
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
-        pipe = TokamakPipeline(cfg.conformal, dim=dim)
+        make_pipe = lambda: TokamakPipeline(cfg.conformal, dim=dim)
         train = _dispatch_load(TokamakDataset, data_path, "train")
         cal = _dispatch_load(TokamakDataset, data_path, "cal")
         test = _dispatch_load(TokamakDataset, data_path, "test")
-        params, Q, metrics = run_inference(cfg, pipe, params, train, cal, test,
-                                           state_dir=_phase_state_dir(args, "tokamak"))
+        params, Q, metrics = run_inference_resilient(
+            cfg, make_pipe, params, train, cal, test,
+            state_dir=_phase_state_dir(args, "tokamak"))
         from safediffcon_tpu.utils.checkpoint import save_finetuned
         save_finetuned(os.path.join(args.out, f"tokamak-{args.phase}"), params, Q)
         print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))

@@ -563,3 +563,50 @@ def inference_finetune(
             save_checkpoint(state_dir, state, step=epoch, Q=Q)
             save_phase_history(state_dir, all_metrics, config_repr=repr(cfg))
     return state, Q, all_metrics
+
+
+def posttrain_resilient(
+    cfg: BurgersPostTrainConfig,
+    make_pipeline,
+    params,
+    finetune_data: BurgersDataset,
+    cal_data: BurgersDataset,
+    test_data: BurgersDataset,
+    state_dir: Optional[str] = None,
+    fault_retries: int = 2,
+    backoff_s: float = 30.0,
+    **kw,
+):
+    """`posttrain` with TPU-worker-crash recovery: backend re-init + fresh
+    pipeline from `make_pipeline()` + bit-identical resume from the epoch
+    state in `state_dir` (utils/faults.py)."""
+    from safediffcon_tpu.utils.faults import resilient_phase
+
+    return resilient_phase(
+        make_pipeline,
+        lambda pipe, p: posttrain(cfg, pipe, p, finetune_data, cal_data,
+                                  test_data, state_dir=state_dir, **kw),
+        params, retries=fault_retries, backoff_s=backoff_s,
+        describe="burgers posttrain")
+
+
+def inference_finetune_resilient(
+    cfg: BurgersInfFTConfig,
+    make_pipeline,
+    params,
+    cal_data: BurgersDataset,
+    test_data: BurgersDataset,
+    state_dir: Optional[str] = None,
+    fault_retries: int = 2,
+    backoff_s: float = 30.0,
+):
+    """`inference_finetune` with TPU-worker-crash recovery (see
+    `posttrain_resilient`)."""
+    from safediffcon_tpu.utils.faults import resilient_phase
+
+    return resilient_phase(
+        make_pipeline,
+        lambda pipe, p: inference_finetune(cfg, pipe, p, cal_data, test_data,
+                                           state_dir=state_dir),
+        params, retries=fault_retries, backoff_s=backoff_s,
+        describe="burgers InfFT")

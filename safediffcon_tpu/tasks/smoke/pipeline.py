@@ -608,17 +608,12 @@ def run_inference_resilient(
     Without `state_dir` a fault replays the phase from epoch 0 (correct,
     just wasteful).
     """
-    from safediffcon_tpu.utils.faults import retry_on_device_fault
+    from safediffcon_tpu.utils.faults import resilient_phase
 
-    params_host = jax.device_get(params)
-
-    def _attempt():
-        pipe = make_pipeline()
-        return run_inference(
-            cfg, pipe, params_host, train_data, cal_data, test_data,
-            on_epoch=on_epoch, deadline=deadline, state_dir=state_dir,
-        )
-
-    return retry_on_device_fault(
-        _attempt, retries=fault_retries, backoff_s=backoff_s,
+    return resilient_phase(
+        make_pipeline,
+        lambda pipe, p: run_inference(
+            cfg, pipe, p, train_data, cal_data, test_data,
+            on_epoch=on_epoch, deadline=deadline, state_dir=state_dir),
+        params, retries=fault_retries, backoff_s=backoff_s,
         describe="smoke finetune")

@@ -14,4 +14,6 @@ from safediffcon_tpu.tasks.tokamak.config import (
     posttrain_config,
 )
 from safediffcon_tpu.tasks.tokamak.data import TokamakDataset, generate_tokamak_dataset
-from safediffcon_tpu.tasks.tokamak.pipeline import TokamakPipeline, pretrain, run_inference
+from safediffcon_tpu.tasks.tokamak.pipeline import (
+    TokamakPipeline, pretrain, run_inference, run_inference_resilient,
+)

@@ -456,3 +456,31 @@ def run_inference(
         if on_epoch is not None:
             on_epoch(all_metrics[-1])
     return params, Q, all_metrics
+
+
+def run_inference_resilient(
+    cfg: TokamakInferenceConfig,
+    make_pipeline,
+    params,
+    train_data: Optional[TokamakDataset],
+    cal_data: TokamakDataset,
+    test_data: TokamakDataset,
+    on_epoch=None,
+    state_dir: Optional[str] = None,
+    fault_retries: int = 2,
+    backoff_s: float = 30.0,
+):
+    """`run_inference` that survives a TPU worker crash mid-phase: the
+    backend is re-initialized, a fresh pipeline built via `make_pipeline()`
+    (the old one's jitted programs capture now-dead device constants), and
+    the phase resumes bit-identically from the epoch state in `state_dir`
+    (utils/faults.py; same machinery as the smoke pipeline's wrapper)."""
+    from safediffcon_tpu.utils.faults import resilient_phase
+
+    return resilient_phase(
+        make_pipeline,
+        lambda pipe, p: run_inference(
+            cfg, pipe, p, train_data, cal_data, test_data,
+            on_epoch=on_epoch, state_dir=state_dir),
+        params, retries=fault_retries, backoff_s=backoff_s,
+        describe="tokamak finetune")

@@ -57,6 +57,30 @@ def reinit_backend() -> None:
     jax.clear_caches()
 
 
+def resilient_phase(
+    make_pipeline,
+    run: Callable,
+    params,
+    retries: int = 2,
+    backoff_s: float = 30.0,
+    describe: str = "phase",
+):
+    """Run a finetune phase with device-fault recovery.
+
+    `run(pipeline, params_host)` executes the phase; on a worker crash the
+    backend is re-initialized and the phase re-entered with a FRESH
+    pipeline from `make_pipeline()` — the old pipeline's jitted programs
+    capture device-resident constants (schedule tables, solver masks) that
+    die with the backend. `params` is snapshotted to host once so no retry
+    depends on dead buffers. Phases that persist epoch state (`state_dir`)
+    resume bit-identically; others replay from epoch 0 (correct, wasteful).
+    """
+    params_host = jax.device_get(params)
+    return retry_on_device_fault(
+        lambda: run(make_pipeline(), params_host),
+        retries=retries, backoff_s=backoff_s, describe=describe)
+
+
 def retry_on_device_fault(
     fn: Callable[[], T],
     retries: int = 2,

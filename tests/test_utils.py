@@ -95,3 +95,46 @@ def test_phase_state_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s2.opt_state),
                     jax.tree_util.tree_leaves(state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_fault_detection_and_retry(monkeypatch):
+    """faults.is_device_fault separates worker-loss errors from program
+    bugs; retry_on_device_fault re-inits and re-calls only on the former."""
+    import jax
+
+    from safediffcon_tpu.utils import faults
+
+    assert faults.is_device_fault(jax.errors.JaxRuntimeError(
+        "UNAVAILABLE: TPU worker process crashed or restarted"))
+    assert faults.is_device_fault(RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+        "setup/compile error"))
+    assert not faults.is_device_fault(ValueError("UNAVAILABLE"))  # wrong type
+    assert not faults.is_device_fault(jax.errors.JaxRuntimeError(
+        "INVALID_ARGUMENT: shape mismatch"))
+
+    reinits = []
+    monkeypatch.setattr(faults, "reinit_backend", lambda: reinits.append(1))
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: worker crashed")
+        return "ok"
+
+    assert faults.retry_on_device_fault(flaky, retries=2, backoff_s=0.0) == "ok"
+    assert calls["n"] == 3 and len(reinits) == 2
+
+    def broken():
+        raise KeyError("bug")
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        faults.retry_on_device_fault(broken, retries=2, backoff_s=0.0)
+
+    def always_fault():
+        raise jax.errors.JaxRuntimeError("UNAVAILABLE: worker crashed")
+
+    with _pytest.raises(jax.errors.JaxRuntimeError):
+        faults.retry_on_device_fault(always_fault, retries=1, backoff_s=0.0)
