@@ -86,6 +86,14 @@ def _add_common(p: argparse.ArgumentParser):
                    help="pretrain: optimizer steps fused per device call "
                         "(lax.scan); default 25 on TPU, 1 elsewhere — "
                         "amortizes dispatch latency on tunneled chips")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "save_heavy"),
+                   help="smoke pretrain: UNet3D remat granularity — 'full' "
+                        "(min HBM) or 'save_heavy' (save conv/dot outputs, "
+                        "recompute only elementwise; the MFU lever)")
+    p.add_argument("--conv-impl", default="xla", choices=("xla", "pallas"),
+                   help="smoke: 3x3x3 conv implementation (pallas = fused "
+                        "im2col MXU kernel, ops/conv3d_mxu.py)")
     p.add_argument("--eval-chunk", type=int, default=10,
                    help="smoke: test-set sub-batch per fused "
                         "sample->solve->metrics program (HBM footprint "
@@ -398,7 +406,9 @@ def run_smoke(args) -> int:
 
     dim = args.dim or 64
     if args.phase == "pretrain":
-        cfg = SmokePretrainConfig(dim=dim, seed=args.seed)
+        cfg = SmokePretrainConfig(dim=dim, seed=args.seed,
+                                  remat_policy=args.remat_policy,
+                                  conv_impl=args.conv_impl)
         train = _dispatch_load(SmokeDataset, data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
