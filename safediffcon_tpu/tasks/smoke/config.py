@@ -42,6 +42,7 @@ class SmokePretrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SmokeConformalConfig:
+    sampler: str = "ddim"  # "ddim" | "dpm" (DPM-Solver++ 2M, fewer steps)
     safe_bound: float = 0.1
     alpha: float = 0.04  # inverted (1-alpha) convention
     w_safe: float = 0.9

@@ -24,7 +24,7 @@ from safediffcon_tpu.parallel.mesh import maybe_replicate, maybe_shard
 import optax
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
-from safediffcon_tpu.core.sampling import ddim_sample
+from safediffcon_tpu.core.sampling import ddim_sample, dpm_solver_sample
 from safediffcon_tpu.core.schedules import make_schedule
 from safediffcon_tpu.core.train import (
     TrainState, accumulated_grads, make_optimizer, run_train_loop,
@@ -81,7 +81,7 @@ class SmokePipeline:
         solver_max_iter: int = 500,
         solver_time_scale: int = 8,
         solver_space_scale: int = 2,
-        solver_backend: str = "auto",  # "auto" -> pallas on TPU, xla on CPU
+        solver_backend: str = "auto",  # "auto" -> xla; "pallas"/"pallas_v1" opt-in
         finetune_set: str = "train",
         cal_chunk: int = 50,
         eval_chunk: Optional[int] = 10,
@@ -113,6 +113,10 @@ class SmokePipeline:
             ddim_eta=conf_cfg.ddim_eta,
             beta_schedule=conf_cfg.beta_schedule,
         )
+        # fast-sampler option (beyond reference parity): DPM-Solver++(2M);
+        # calibration MUST use the same sampler as test sampling
+        self.sampler_fn = (dpm_solver_sample if conf_cfg.sampler == "dpm"
+                           else ddim_sample)
         self.masks = S.build_masks()
         if solver_backend == "auto":
             # "auto" resolves to the pure-XLA CG on every backend. The
@@ -137,7 +141,7 @@ class SmokePipeline:
             cond = SmokeConditioner(
                 init=state[:, 0, :, :, 0], control=state[..., CX : CY + 1]
             )
-            out = ddim_sample(
+            out = self.sampler_fn(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond,
             )
@@ -157,7 +161,7 @@ class SmokePipeline:
             (reference: run_model, 2d/inference_2d.py:197-237)."""
             cond = SmokeConditioner(init=state[:, 0, :, :, 0], control=control)
             g = guidance_grad_fn(Q, tc) if guided else None
-            out = ddim_sample(
+            out = self.sampler_fn(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond, guidance_grad=g,
                 final_step_grad=final_step_grad,
@@ -403,7 +407,7 @@ def make_finetune_steps(cfg: SmokeInferenceConfig, pipeline: SmokePipeline):
         rng1, rng2 = jax.random.split(rng)
         cond = SmokeConditioner(init=test_batch[:, 0, :, :, 0])
         g = guidance_grad_fn(Q, tc) if ccfg.use_guidance else None
-        first = ddim_sample(
+        first = pipeline.sampler_fn(
             apply_fn, jax.lax.stop_gradient(params), sched, pipeline.diff_cfg,
             rng1, test_batch.shape, cond=cond, guidance_grad=g,
         )
@@ -411,7 +415,7 @@ def make_finetune_steps(cfg: SmokeInferenceConfig, pipeline: SmokePipeline):
 
         def loss_fn(p):
             cond2 = SmokeConditioner(init=test_batch[:, 0, :, :, 0], control=control)
-            out = ddim_sample(
+            out = pipeline.sampler_fn(
                 apply_fn, p, sched, pipeline.diff_cfg, rng2, test_batch.shape,
                 cond=cond2, final_step_grad=True,
             )

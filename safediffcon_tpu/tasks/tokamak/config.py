@@ -50,6 +50,7 @@ class TokamakConformalConfig:
     ddim_sampling_steps: int = 200
     ddim_eta: float = 1.0
     timesteps: int = 1000
+    sampler: str = "ddim"  # "ddim" | "dpm" (DPM-Solver++ 2M, fewer steps)
     # guidance
     w_obj: float = 0.0
     w_safe: float = 1.0

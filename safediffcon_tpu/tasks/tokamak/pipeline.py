@@ -31,7 +31,7 @@ from safediffcon_tpu.parallel.mesh import maybe_replicate, maybe_shard
 import optax
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
-from safediffcon_tpu.core.sampling import ddim_sample
+from safediffcon_tpu.core.sampling import ddim_sample, dpm_solver_sample
 from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
 from safediffcon_tpu.core.train import (
     TrainState, accumulated_grads, make_optimizer, periodic_cosine_schedule,
@@ -112,6 +112,11 @@ class TokamakPipeline:
             ddim_eta=conf_cfg.ddim_eta,
         )
         self.j_scheduler = get_J_scheduler(conf_cfg.J_scheduler)
+        # fast-sampler option (beyond reference parity): DPM-Solver++(2M).
+        # Calibration uses the SAME sampler as test sampling, or Q-hat
+        # loses its coverage meaning for the deployed sampler.
+        self.sampler_fn = (dpm_solver_sample if conf_cfg.sampler == "dpm"
+                           else ddim_sample)
         self.solver_params = load_kstar_params()
         tc = self.task_cfg
 
@@ -125,7 +130,7 @@ class TokamakPipeline:
                 uT=jnp.stack([state[:, :NT, 0], state[:, :NT, 2]], axis=-1),
                 w=state[:, :, N_STATES:],
             )
-            out = ddim_sample(
+            out = self.sampler_fn(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond,
             )
@@ -170,7 +175,7 @@ class TokamakPipeline:
                     lambda x: (guidance_loss(x, state_target, Q, tc)
                                * tc.guidance_scaler).sum()
                 )
-            out = ddim_sample(
+            out = self.sampler_fn(
                 self.apply_fn, params, self.sched, self.diff_cfg, rng,
                 state.shape, cond=cond, guidance_grad=g,
                 j_scheduler=self.j_scheduler, final_step_grad=final_step_grad,
@@ -379,7 +384,7 @@ def run_inference(
             if ccfg.use_guidance:
                 g = jax.grad(lambda x: (guidance_loss(x, state_target, Q, tc)
                                         * tc.guidance_scaler).sum())
-            out = ddim_sample(
+            out = pipeline.sampler_fn(
                 apply_fn, p, sched, pipeline.diff_cfg, rng, test_batch.shape,
                 cond=cond, guidance_grad=g, j_scheduler=pipeline.j_scheduler,
                 final_step_grad=True,
