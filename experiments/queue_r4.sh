@@ -51,8 +51,37 @@ EOF
 log "selected remat policy: $POLICY"
 
 log "=== 6. 2D at-scale run (pretrain extension + 8-epoch posttrain + backward) ==="
-# deadline: env SMOKE_DEADLINE_TS if provided by the launcher, else none
-SMOKE_REMAT_POLICY="$POLICY" timeout 86400 \
+# Adapt the pretrain extension to the time actually left: reserve ~3.5 h
+# for posttrain+backward (deadline-capped themselves), budget the rest to
+# pretrain at the measured s/step of the selected config (fallback 2.5).
+PLAN=$(POLICY="$POLICY" python - <<'EOF'
+import json, os, time
+deadline = float(os.environ.get("SMOKE_DEADLINE_TS", 0) or 0)
+spp = 2.5
+try:
+    for line in open("/root/repo/experiments/unet3d_mfu_round4.jsonl"):
+        r = json.loads(line)
+        if r.get("batch") == 7 and r.get("policy") == os.environ.get("POLICY") \
+                and "s_per_step" in r:
+            spp = r["s_per_step"]
+except FileNotFoundError:
+    pass
+if deadline:
+    budget_s = max(deadline - time.time() - 3.5 * 3600, 0)
+    steps = 3000 + int(budget_s / spp)
+    steps = max(3000, min(steps, 30000))
+else:
+    steps = 30000
+# posttrain epochs scale down with a thin budget too
+pt_steps = 4000 if steps > 15000 else (2000 if steps > 8000 else 1000)
+print(f"{steps} {pt_steps}")
+EOF
+)
+PRETRAIN_STEPS=$(echo $PLAN | cut -d' ' -f1)
+PT_STEPS=$(echo $PLAN | cut -d' ' -f2)
+log "2D plan: pretrain to $PRETRAIN_STEPS steps, posttrain 8x$PT_STEPS (policy $POLICY)"
+SMOKE_REMAT_POLICY="$POLICY" SMOKE_PRETRAIN_STEPS="$PRETRAIN_STEPS" \
+    SMOKE_PT_STEPS="$PT_STEPS" timeout 86400 \
     python -u experiments/run_2d_refscale_r4.py 2>&1 | tee /tmp/r4_2d.log
 log "2d rc=$?"
 
