@@ -266,7 +266,7 @@ _pressure_solve_pallas_ws.defvjp(_fwd, _bwd)
 
 def pressure_solve_pallas(
     masks, div: jnp.ndarray, accuracy: float = 1e-6, max_iter: int = 500,
-    interpret: bool = False, guess=None, variant: str = "v2",
+    interpret=None, guess=None, variant: str = "v2",
 ) -> jnp.ndarray:
     """Solve A p = div with VMEM-resident chunked-batch CG.
 
@@ -278,8 +278,12 @@ def pressure_solve_pallas(
     variant="v2" (default) keeps all kernel control flow STATIC (fixed
     BLOCK_K-iteration kernel + XLA-level convergence loop — see
     _make_block_kernel); "v1" is the original all-in-VMEM data-dependent
-    while_loop kernel, kept for the round-3 worker-fault A/B isolation."""
+    while_loop kernel, kept for the round-3 worker-fault A/B isolation.
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if guess is None:
         guess = jnp.zeros_like(div)
     return _pressure_solve_pallas_ws(masks, div, guess, accuracy, max_iter,
-                                     interpret, variant)
+                                     bool(interpret), variant)

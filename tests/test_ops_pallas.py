@@ -70,3 +70,22 @@ def test_gradient_adjoint(masks):
     g = jax.grad(loss)(div)
     recovered = S._apply_A(masks, g)
     assert float(jnp.abs(recovered - w).max()) < 1e-3
+
+
+@pytest.mark.parametrize("backend", ["pallas", "pallas_v1"])
+def test_rollout_backend_equality(masks, backend):
+    """A short full solver rollout through divergence_free with the Pallas
+    backends (auto-interpret off-TPU) matches the XLA CG path — covers the
+    exact production seam isolate_kernel_fault_r4.py A/Bs on chip."""
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(scale=0.3, size=(2, 128, 128, 2))
+                    .astype(np.float32))
+    ref, p_ref = S.divergence_free(masks, v, accuracy=1e-6, max_iter=300,
+                                   return_pressure=True, backend="xla")
+    out, p_out = S.divergence_free(masks, v, accuracy=1e-6, max_iter=300,
+                                   return_pressure=True, backend=backend)
+    assert float(jnp.abs(ref - out).max()) < 2e-3
+    # pressure itself is only determined to the CG stopping tolerance's
+    # implied solution error; the projected VELOCITY (above) is the
+    # physical output and is tight
+    assert float(jnp.abs(p_ref - p_out).max()) < 1e-2
