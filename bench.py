@@ -29,6 +29,9 @@ so the denominator is derived, not guessed:
     ratio.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -127,11 +130,125 @@ def main():
     }))
 
 
+def _probe_default_backend(timeout_s: float) -> bool:
+    """True iff the default (TPU) backend initializes AND executes a matmul
+    within `timeout_s`, checked in a subprocess so an init HANG (the round-4
+    outage mode: jax.devices() blocks >10 min) can't take bench.py with it.
+    """
+    env = dict(os.environ)
+    pp = env.get("PYTHONPATH", "")
+    for extra in ("/root/repo", "/root/.axon_site"):
+        if extra not in pp.split(":"):
+            pp = f"{pp}:{extra}" if pp else extra
+    env["PYTHONPATH"] = pp
+    code = ("import jax, jax.numpy as jnp;"
+            "d = jax.devices();"
+            "x = jnp.ones((256, 256)); (x @ x).block_until_ready();"
+            "print('BACKEND_OK', d[0].platform, flush=True)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] backend probe HUNG after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return False
+    if r.returncode == 0 and "BACKEND_OK" in r.stdout:
+        return "cpu" not in r.stdout  # a cpu default means no TPU to bench
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    print(f"[bench] backend probe failed rc={r.returncode}: "
+          f"{tail[-1][:200] if tail else '(no output)'}",
+          file=sys.stderr, flush=True)
+    return False
+
+
+# Same-CPU reference measurement (experiments/bench_reference_torch.py,
+# recorded in experiments/bench_reference_torch_round2.json): the reference's
+# own ddim_sample (/root/reference/1D/model/diffusion.py:451-555) driven on
+# THIS host's CPU at batch 4 / DDIM 10 / fp32 / same UNet2D topology.
+TORCH_SAME_CPU_SEC_PER_SAMPLE_STEP = 0.4024
+CPU_BATCH, CPU_DDIM_STEPS = 4, 10
+
+
+def main_cpu_fallback(reason: str):
+    """Honest degraded-mode benchmark when the TPU backend is unreachable.
+
+    Reproduces the recorded same-CPU head-to-head config exactly (batch 4,
+    DDIM 10, fp32 — experiments/bench_reference_torch.py) and compares our
+    fused sampler against the reference torch loop measured on the SAME
+    silicon, so the round still ships a green, apples-to-apples artifact.
+    The JSON is explicitly labeled platform=cpu; it is NOT a chip number.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    model = UNet2D(dim=DIM, dim_mults=(1, 2, 4, 8), channels=3,
+                   resnet_block_groups=1)  # fp32, matching the torch run
+    apply_fn = lambda p, x, t: model.apply(p, x, t)
+    sched = make_schedule(1000, "cosine")
+    dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=CPU_DDIM_STEPS,
+                           ddim_eta=1.0)
+    tc = BurgersTaskConfig(w_score=500.0)
+
+    rng = jax.random.PRNGKey(0)
+    rng, key = jax.random.split(rng)
+    shape = (CPU_BATCH, 16, 128, 3)
+    params = model.init(key, jnp.zeros((1,) + shape[1:]),
+                        jnp.zeros((1,), jnp.int32))
+    state = jax.random.normal(rng, shape)
+    g = jax.grad(lambda x: guidance_values(x, jnp.zeros(()), tc).sum())
+
+    @jax.jit
+    def run(params, rng, state):
+        cond = BurgersConditioner(u0=state[:, 0, :, 0],
+                                  uT=state[:, COND_IDX, :, 0])
+        return ddim_sample(apply_fn, params, sched, dcfg, rng, state.shape,
+                           cond=cond, guidance_grad=g)
+
+    rng, key = jax.random.split(rng)
+    run(params, key, state).block_until_ready()  # compile + warmup
+
+    # min over reps: this is a 1-core host, so a stray background process
+    # inflates any single rep — the min is the uncontended cost.
+    per_rep = []
+    for _ in range(3):
+        rng, key = jax.random.split(rng)
+        t0 = time.perf_counter()
+        run(params, key, state).block_until_ready()
+        per_rep.append(time.perf_counter() - t0)
+    sec_per_sample_step = min(per_rep) / (CPU_DDIM_STEPS * CPU_BATCH)
+
+    print(json.dumps({
+        "metric": "guided_denoise_sec_per_sample_step_same_cpu",
+        "value": round(sec_per_sample_step, 4),
+        "unit": ("s/sample-step (CPU FALLBACK: batch 4, DDIM 10, UNet2D "
+                 "dim 128 fp32, guidance on — TPU backend unreachable)"),
+        # ratio vs the reference's own code measured on this same CPU
+        "vs_baseline": round(
+            TORCH_SAME_CPU_SEC_PER_SAMPLE_STEP / sec_per_sample_step, 2),
+        "platform": "cpu",
+        "fallback_reason": reason,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "baseline": ("torch reference ddim_sample on this host CPU, "
+                     f"{TORCH_SAME_CPU_SEC_PER_SAMPLE_STEP} s/sample-step "
+                     "(experiments/bench_reference_torch_round2.json)"),
+        "last_green_tpu": ("95.2 guided steps/s = 57.9% MFU at batch 50 / "
+                           "DDIM 200 (BENCH_r02.json)"),
+    }))
+
+
 if __name__ == "__main__":
     # A faulted TPU worker (round-3 failure mode: "UNAVAILABLE: TPU worker
     # process crashed or restarted") can recover between attempts — retry
     # with a backend re-init so a transient fault doesn't cost the round's
-    # perf artifact.
+    # perf artifact. A backend that cannot even initialize (round-4 outage:
+    # init hangs indefinitely) instead degrades to an honest same-CPU
+    # head-to-head so the round artifact is green and labeled, not rc=1.
     from safediffcon_tpu.utils.faults import retry_on_device_fault
 
-    retry_on_device_fault(main, retries=2, backoff_s=60.0, describe="bench")
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        main_cpu_fallback("BENCH_FORCE_CPU=1")
+    elif _probe_default_backend(probe_timeout):
+        retry_on_device_fault(main, retries=2, backoff_s=60.0, describe="bench")
+    else:
+        main_cpu_fallback(
+            f"TPU backend probe failed/hung (>{probe_timeout:.0f}s); "
+            "see experiments/TPU_OUTAGE_r4.md")

@@ -43,10 +43,12 @@ dcfg = DiffusionConfig(timesteps=1000)
 cond = train_conditioner()
 
 
-def bench_config(remat, policy, batch, label, conv_impl="xla"):
+def bench_config(remat, policy, batch, label, conv_impl="xla",
+                 attn_impl="heads"):
     model = UNet3D(dim=64, dim_mults=(1, 2, 4), channels=CH,
                    compute_dtype=jnp.bfloat16, use_remat=remat,
-                   remat_policy=policy, conv_impl=conv_impl)
+                   remat_policy=policy, conv_impl=conv_impl,
+                   attn_impl=attn_impl)
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, FRAMES, SIZE, SIZE, CH))
@@ -91,6 +93,7 @@ def bench_config(remat, policy, batch, label, conv_impl="xla"):
 
     rec = {
         "label": label, "remat": remat, "policy": policy, "batch": batch,
+        "conv_impl": conv_impl, "attn_impl": attn_impl,
         "s_per_step": dt, "compile_s": compile_s,
         "flops_per_step": flops,
         "tflops_per_s": flops / dt / 1e12 if flops == flops else None,
@@ -254,21 +257,26 @@ if __name__ == "__main__":
         except Exception as e:  # noqa: BLE001 — layer-shape drift shouldn't kill the 3D sweep
             print(json.dumps({"op": "1d_sweep", "error": str(e)[:300]}), flush=True)
     configs = [
-        ("full_b7", True, "full", 7, "xla"),
-        ("save_heavy_b7", True, "save_heavy", 7, "xla"),
-        ("save_heavy_b14", True, "save_heavy", 14, "xla"),
-        ("none_b7", False, "full", 7, "xla"),
-        ("full_b14", True, "full", 14, "xla"),
-        ("pallas_conv_b7", True, "full", 7, "pallas"),
-        ("pallas_conv_save_heavy_b7", True, "save_heavy", 7, "pallas"),
+        ("full_b7", True, "full", 7, "xla", "heads"),
+        ("save_heavy_b7", True, "save_heavy", 7, "xla", "heads"),
+        ("save_heavy_b14", True, "save_heavy", 14, "xla", "heads"),
+        ("none_b7", False, "full", 7, "xla", "heads"),
+        ("full_b14", True, "full", 14, "xla", "heads"),
+        ("pallas_conv_b7", True, "full", 7, "pallas", "heads"),
+        ("pallas_conv_save_heavy_b7", True, "save_heavy", 7, "pallas", "heads"),
+        # head-packed 128-tile attention matmuls (round-4, models/unet3d.py)
+        ("packed_attn_b7", True, "full", 7, "xla", "packed"),
+        ("packed_attn_save_heavy_b7", True, "save_heavy", 7, "xla", "packed"),
+        ("packed_attn_pallas_conv_b7", True, "save_heavy", 7, "pallas", "packed"),
     ]
     sel = os.environ.get("MFU_CONFIGS")
     if sel is not None:
         names = set(n for n in sel.split(",") if n)
         configs = [c for c in configs if c[0] in names]
-    for label, remat, policy, batch, conv_impl in configs:
+    for label, remat, policy, batch, conv_impl, attn_impl in configs:
         try:
-            bench_config(remat, policy, batch, label, conv_impl=conv_impl)
+            bench_config(remat, policy, batch, label, conv_impl=conv_impl,
+                         attn_impl=attn_impl)
         except Exception as e:  # OOM configs are informative, not fatal
             msg = str(e).splitlines()[0][:300]
             print(json.dumps({"label": label, "error": msg}), flush=True)

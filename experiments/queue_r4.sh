@@ -28,27 +28,34 @@ timeout 10800 python -u experiments/run_tokamak_multiseed_r4.py \
     2>&1 | tee /tmp/r4_tok.log
 log "tok rc=$?"
 
-log "=== 5. UNet3D MFU study (per-op sweep + 2 full-step configs) ==="
-MFU_OPS=1 MFU_CONFIGS=full_b7,save_heavy_b7 timeout 14400 \
+log "=== 5. UNet3D MFU study (per-op sweep + 3 full-step configs) ==="
+MFU_OPS=1 MFU_CONFIGS=full_b7,save_heavy_b7,packed_attn_save_heavy_b7 \
+    timeout 14400 \
     python -u experiments/profile_unet3d_mfu_r4.py 2>&1 | tee /tmp/r4_mfu.log
 log "mfu rc=$?"
 
-# pick the faster measured remat policy for the long 2D run
-POLICY=$(python - <<'EOF'
+# pick the fastest measured (remat policy, attn impl, conv impl) for the
+# long 2D run
+WINNER=$(python - <<'EOF'
 import json
-best, bt = "full", None
+best, bt = ("full", "heads", "xla"), None
 try:
     for line in open("/root/repo/experiments/unet3d_mfu_round4.jsonl"):
         r = json.loads(line)
         if r.get("batch") == 7 and "s_per_step" in r:
             if bt is None or r["s_per_step"] < bt:
-                bt, best = r["s_per_step"], r["policy"]
+                bt = r["s_per_step"]
+                best = (r["policy"], r.get("attn_impl", "heads"),
+                        r.get("conv_impl", "xla"))
 except FileNotFoundError:
     pass
-print(best)
+print(" ".join(best))
 EOF
 )
-log "selected remat policy: $POLICY"
+POLICY=$(echo $WINNER | cut -d' ' -f1)
+ATTN=$(echo $WINNER | cut -d' ' -f2)
+CONV=$(echo $WINNER | cut -d' ' -f3)
+log "selected remat policy: $POLICY attn: $ATTN conv: $CONV"
 
 log "=== 6. 2D at-scale run (pretrain extension + 8-epoch posttrain + backward) ==="
 # Adapt the pretrain extension to the time actually left: reserve ~3.5 h
@@ -80,7 +87,8 @@ EOF
 PRETRAIN_STEPS=$(echo $PLAN | cut -d' ' -f1)
 PT_STEPS=$(echo $PLAN | cut -d' ' -f2)
 log "2D plan: pretrain to $PRETRAIN_STEPS steps, posttrain 8x$PT_STEPS (policy $POLICY)"
-SMOKE_REMAT_POLICY="$POLICY" SMOKE_PRETRAIN_STEPS="$PRETRAIN_STEPS" \
+SMOKE_REMAT_POLICY="$POLICY" SMOKE_ATTN_IMPL="$ATTN" SMOKE_CONV_IMPL="$CONV" \
+    SMOKE_PRETRAIN_STEPS="$PRETRAIN_STEPS" \
     SMOKE_PT_STEPS="$PT_STEPS" timeout 86400 \
     python -u experiments/run_2d_refscale_r4.py 2>&1 | tee /tmp/r4_2d.log
 log "2d rc=$?"

@@ -58,6 +58,7 @@ OUT = "/root/repo/experiments/validation_2d_refscale_round4.json"
 PRETRAIN_STEPS = int(os.environ.get("SMOKE_PRETRAIN_STEPS", 30000))
 REMAT_POLICY = os.environ.get("SMOKE_REMAT_POLICY", "full")
 CONV_IMPL = os.environ.get("SMOKE_CONV_IMPL", "xla")
+ATTN_IMPL = os.environ.get("SMOKE_ATTN_IMPL", "heads")
 PT_EPOCHS = int(os.environ.get("SMOKE_PT_EPOCHS", 8))
 PT_STEPS = int(os.environ.get("SMOKE_PT_STEPS", 4000))
 BW_EPOCHS = int(os.environ.get("SMOKE_BW_EPOCHS", 4))
@@ -100,7 +101,7 @@ if not os.path.exists(CKPT_DIR):
 pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
                           checkpoint_every=int(os.environ.get("SMOKE_CKPT_EVERY", 5000)),
                           compute_dtype="bfloat16", remat_policy=REMAT_POLICY,
-                          conv_impl=CONV_IMPL)
+                          conv_impl=CONV_IMPL, attn_impl=ATTN_IMPL)
 state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
                  checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
                  steps_per_call=int(os.environ.get("SMOKE_K", 1)),
@@ -108,6 +109,7 @@ state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
 tick(f"pretrain at {PRETRAIN_STEPS} steps (remat={REMAT_POLICY})")
 
 results = {"pretrain_steps": PRETRAIN_STEPS, "remat_policy": REMAT_POLICY,
+           "conv_impl": CONV_IMPL, "attn_impl": ATTN_IMPL,
            "pt_epochs": PT_EPOCHS, "pt_steps": PT_STEPS,
            "bw_epochs": BW_EPOCHS, "eval_seeds": EVAL_SEEDS}
 if os.path.exists(OUT):
@@ -154,6 +156,7 @@ conf = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                             w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
                             ddim_sampling_steps=100, test_batch_size=25)
 make_pipe = lambda: SmokePipeline(conf, compute_dtype="bfloat16",
+                                  attn_impl=ATTN_IMPL,
                                   cal_chunk=10, eval_chunk=10)
 if os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1" and \
         f"baseline_eval_unguided_{PRETRAIN_STEPS}" not in results:
@@ -198,6 +201,7 @@ bconf = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
                              ddim_sampling_steps=100, use_guidance=False,
                              test_batch_size=BW_BATCH)
 make_pipe_b = lambda: SmokePipeline(bconf, compute_dtype="bfloat16",
+                                    attn_impl=ATTN_IMPL,
                                     finetune_set="test", cal_chunk=10,
                                     eval_chunk=10)
 bcfg = SmokeInferenceConfig(conformal=bconf, backward_finetune=True,

@@ -94,6 +94,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--conv-impl", default="xla", choices=("xla", "pallas"),
                    help="smoke: 3x3x3 conv implementation (pallas = fused "
                         "im2col MXU kernel, ops/conv3d_mxu.py)")
+    p.add_argument("--attn-impl", default="heads", choices=("heads", "packed"),
+                   help="smoke: UNet3D attention matmul layout — 'packed' "
+                        "stacks heads into full-128-tile MXU matmuls "
+                        "(models/unet3d.py); checkpoints interchange")
     p.add_argument("--eval-chunk", type=int, default=10,
                    help="smoke: test-set sub-batch per fused "
                         "sample->solve->metrics program (HBM footprint "
@@ -408,7 +412,8 @@ def run_smoke(args) -> int:
     if args.phase == "pretrain":
         cfg = SmokePretrainConfig(dim=dim, seed=args.seed,
                                   remat_policy=args.remat_policy,
-                                  conv_impl=args.conv_impl)
+                                  conv_impl=args.conv_impl,
+                                  attn_impl=args.attn_impl)
         train = _dispatch_load(SmokeDataset, data_path, "train")
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
@@ -428,7 +433,7 @@ def run_smoke(args) -> int:
     cfg = posttrain_config() if args.phase == "posttrain" else finetune_config()
     if args.phase in ("posttrain", "infft"):
         make_pipe = lambda: SmokePipeline(
-            cfg.conformal, dim=dim,
+            cfg.conformal, dim=dim, attn_impl=args.attn_impl,
             finetune_set="test" if cfg.backward_finetune else "train",
             **chunk_kw,
         )
@@ -444,7 +449,8 @@ def run_smoke(args) -> int:
         save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
-        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim, **chunk_kw)
+        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim,
+                         attn_impl=args.attn_impl, **chunk_kw)
         cal = _dispatch_load(SmokeDataset, data_path, "cal")
         test = _dispatch_load(SmokeDataset, data_path, "test")
 

@@ -61,11 +61,28 @@ def _rope(x: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
 
 class TemporalAttention(nn.Module):
     """Full attention over the frame axis with RoPE + relative position bias
-    (reference: video_diffusion_pytorch_conv3d.py:277-353)."""
+    (reference: video_diffusion_pytorch_conv3d.py:277-353).
+
+    attn_impl:
+      - "heads": the textbook batched form — per-head (F, d) x (d, F)
+        matmuls. At the production config (heads=4, dim_head=32, F=32)
+        every matmul is 32x32x32, filling 1/4 of the MXU's 128 lanes and
+        forcing relayouts between the four ops (the round-3 roofline's
+        diagnosed MFU sink, BASELINE.md).
+      - "packed": stack the H heads' tokens along one (H*F)-row axis and
+        compute ONE (H*F, d) x (d, H*F) QK^T and ONE (H*F, H*F) x (H*F, d)
+        PV per (batch, pixel). At the production config both are full
+        128-row/128-col MXU tiles. Cross-head sim blocks are masked to
+        -inf before the softmax, so the block-diagonal attention times the
+        stacked V reproduces per-head attention EXACTLY (off-block attn
+        weights are 0); 4x QK^T FLOP waste trades for full-tile MXU
+        occupancy and two fused matmuls instead of eight tiny ones.
+    """
 
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = None
+    attn_impl: str = "heads"  # "heads" | "packed"
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
@@ -84,12 +101,33 @@ class TemporalAttention(nn.Module):
         q = q * (self.dim_head**-0.5)
         q = _rope(q)
         k = _rope(k)
-        sim = jnp.einsum("...hid,...hjd->...hij", q, k)
-        if pos_bias is not None:
-            sim = sim + pos_bias  # (H, F, F) broadcast over (B, HW)
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
+
+        if self.attn_impl == "packed":
+            hf = self.heads * f
+            # (..., H, F, D) -> (..., H*F, D): head-major stacked tokens
+            qp = q.reshape(*q.shape[:-3], hf, self.dim_head)
+            kp = k.reshape(*k.shape[:-3], hf, self.dim_head)
+            vp = v.reshape(*v.shape[:-3], hf, self.dim_head)
+            sim = jnp.einsum("...id,...jd->...ij", qp, kp)  # (..., H*F, H*F)
+            # additive mask: 0 on each head's own F x F block, -inf across
+            # heads; the pos_bias (H, F, F) lands on the diagonal blocks.
+            block = np.kron(np.eye(self.heads), np.ones((f, f)))
+            neg = jnp.asarray(np.where(block, 0.0, -np.inf), dtype=sim.dtype)
+            if pos_bias is not None:
+                eye = jnp.asarray(np.eye(self.heads), pos_bias.dtype)
+                neg = neg + jnp.einsum("gh,hij->gihj", eye, pos_bias).reshape(hf, hf)
+            sim = sim + neg
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("...ij,...jd->...id", attn, vp)  # (..., H*F, D)
+            out = out.reshape(*out.shape[:-2], self.heads, f, self.dim_head)
+        else:
+            sim = jnp.einsum("...hid,...hjd->...hij", q, k)
+            if pos_bias is not None:
+                sim = sim + pos_bias  # (H, F, F) broadcast over (B, HW)
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("...hij,...hjd->...hid", attn, v)
         out = out.swapaxes(-3, -2).reshape(b, hh * ww, f, hidden)
         out = nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
         return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
@@ -97,11 +135,19 @@ class TemporalAttention(nn.Module):
 
 class SpatialLinearAttention3D(nn.Module):
     """Per-frame linear attention over H*W tokens
-    (reference: video_diffusion_pytorch_conv3d.py:232-258)."""
+    (reference: video_diffusion_pytorch_conv3d.py:232-258).
+
+    attn_impl "packed" stacks the heads' feature rows into one
+    (H*D, N) matrix so the two context einsums become full-MXU-tile
+    (128, N) x (N, 128) and (128, 128) x (128, N) matmuls instead of
+    per-head 32-row ops; the cross-head blocks of the 128x128 context
+    are zeroed, which reproduces per-head linear attention exactly
+    (block-diagonal context times stacked q)."""
 
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = None
+    attn_impl: str = "heads"  # "heads" | "packed"
 
     @nn.compact
     def __call__(self, x):
@@ -119,8 +165,20 @@ class SpatialLinearAttention3D(nn.Module):
         q = jax.nn.softmax(q, axis=-2)
         k = jax.nn.softmax(k, axis=-1)
         q = q * (self.dim_head**-0.5)
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)
+        if self.attn_impl == "packed":
+            hd = self.heads * self.dim_head
+            bb, _, _, n = q.shape
+            qp = q.reshape(bb, hd, n)
+            kp = k.reshape(bb, hd, n)
+            vp = v.reshape(bb, hd, n)
+            block = np.kron(np.eye(self.heads), np.ones((self.dim_head,) * 2))
+            blk = jnp.asarray(block, dtype=qp.dtype)  # (H*D, H*D) 0/1
+            context = jnp.einsum("bdn,ben->bde", kp, vp) * blk
+            out = jnp.einsum("bde,bdn->ben", context, qp)  # (B', H*D, N)
+            out = out.reshape(bb, self.heads, self.dim_head, n)
+        else:
+            context = jnp.einsum("bhdn,bhen->bhde", k, v)
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)
         bb, h, d, n = out.shape
         out = out.transpose(0, 3, 1, 2).reshape(bb, n, h * d)
         out = nn.Dense(c, dtype=self.dtype)(out)
@@ -177,6 +235,11 @@ class ResnetBlock3D(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = None
     conv_impl: str = "xla"
+    # attention matmul layout: "heads" (per-head 32x32x32 batched matmuls)
+    # | "packed" (head-stacked full-128-tile matmuls with block-diagonal
+    # masking — see TemporalAttention/SpatialLinearAttention3D docstrings).
+    # Param pytrees are identical across the flag (checkpoints interchange).
+    attn_impl: str = "heads"
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -223,6 +286,11 @@ class UNet3D(nn.Module):
     # opt-in until the on-chip A/B certifies a win). Param pytrees are
     # identical, so checkpoints interchange across the flag.
     conv_impl: str = "xla"
+    # attention matmul layout: "heads" (per-head 32x32x32 batched matmuls)
+    # | "packed" (head-stacked full-128-tile matmuls with block-diagonal
+    # masking — see TemporalAttention/SpatialLinearAttention3D docstrings).
+    # Param pytrees are identical across the flag (checkpoints interchange).
+    attn_impl: str = "heads"
 
     @nn.compact
     def __call__(self, x, t):
@@ -265,7 +333,7 @@ class UNet3D(nn.Module):
 
         x = nn.Conv(self.dim, kernel_size=(7, 7, 7), padding="SAME", name="init_conv", dtype=dty)(x)
         x = PNR(
-            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
+            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
         )(x, pos_bias=pos_bias)
         r = x
 
@@ -279,10 +347,10 @@ class UNet3D(nn.Module):
             x = RB3(dim_out, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = RB3(dim_out, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = PNR(
-                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
             )(x)
             x = PNR(
-                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
+                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
             )(x, pos_bias=pos_bias)
             h.append(x)
             if not is_last:
@@ -329,7 +397,7 @@ class UNet3D(nn.Module):
 
         x = PNR(_MidSpatial(self.attn_heads, self.attn_dim_head))(x)
         x = PNR(
-            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
+            TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
         )(x, pos_bias=pos_bias)
         x = RB3(mid_dim, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
 
@@ -339,10 +407,10 @@ class UNet3D(nn.Module):
             x = RB3(dim_in, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = RB3(dim_in, groups=self.resnet_groups, dtype=dty, conv_impl=self.conv_impl)(x, time_emb)
             x = PNR(
-                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty)
+                SpatialLinearAttention3D(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
             )(x)
             x = PNR(
-                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty)
+                TemporalAttention(self.attn_heads, self.attn_dim_head, dtype=dty, attn_impl=self.attn_impl)
             )(x, pos_bias=pos_bias)
             if not is_last:
                 # Spatial-only transposed-conv upsample, k(1,4,4) s(1,2,2).

@@ -37,6 +37,9 @@ class SmokePretrainConfig:
     remat_policy: str = "full"
     # 3x3x3 conv implementation ("xla" | "pallas"): models/unet3d.py
     conv_impl: str = "xla"
+    # attention matmul layout ("heads" | "packed"): head-stacked 128-tile
+    # matmuls targeting the round-3 MFU diagnosis (models/unet3d.py).
+    attn_impl: str = "heads"
     seed: int = 42
 
 

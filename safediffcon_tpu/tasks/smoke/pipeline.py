@@ -57,10 +57,11 @@ log = logging.getLogger(__name__)
 
 
 def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None,
-                remat_policy="full", conv_impl="xla"):
+                remat_policy="full", conv_impl="xla", attn_impl="heads"):
     dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt,
-                  remat_policy=remat_policy, conv_impl=conv_impl)
+                  remat_policy=remat_policy, conv_impl=conv_impl,
+                  attn_impl=attn_impl)
 
 
 def init_params(model, rng, frames=32, size=64):
@@ -77,6 +78,7 @@ class SmokePipeline:
         dim: int = 64,
         dim_mults=(1, 2, 4),
         compute_dtype: str = None,
+        attn_impl: str = "heads",  # "packed" = 128-tile attention matmuls
         solver_accuracy: float = 1e-6,
         solver_max_iter: int = 500,
         solver_time_scale: int = 8,
@@ -104,7 +106,8 @@ class SmokePipeline:
             alpha=conf_cfg.alpha,
         )
         self.finetune_set = finetune_set
-        self.model = build_model(dim, dim_mults, compute_dtype)
+        self.model = build_model(dim, dim_mults, compute_dtype,
+                                 attn_impl=attn_impl)
         self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
         self.sched = make_schedule(conf_cfg.timesteps, conf_cfg.beta_schedule)
         self.diff_cfg = DiffusionConfig(
@@ -287,7 +290,8 @@ def pretrain(
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None),
                         remat_policy=getattr(cfg, 'remat_policy', 'full'),
-                        conv_impl=getattr(cfg, 'conv_impl', 'xla'))
+                        conv_impl=getattr(cfg, 'conv_impl', 'xla'),
+                        attn_impl=getattr(cfg, 'attn_impl', 'heads'))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,
