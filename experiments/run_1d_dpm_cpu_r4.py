@@ -38,8 +38,7 @@ def tick(msg):
 
 from safediffcon_tpu.tasks.burgers.config import BurgersConformalConfig
 from safediffcon_tpu.tasks.burgers.data import BurgersDataset
-from safediffcon_tpu.tasks.burgers.pipeline import BurgersPipeline, init_params
-from safediffcon_tpu.core.train import TrainState, make_optimizer
+from safediffcon_tpu.tasks.burgers.pipeline import BurgersPipeline
 from safediffcon_tpu.utils.checkpoint import load_checkpoint
 
 ART = "/root/repo/artifacts"
@@ -75,14 +74,12 @@ for sampler, steps in variants:
     conf = BurgersConformalConfig(sampler=sampler, ddim_sampling_steps=steps)
     pipe = BurgersPipeline(conf, dim=128)  # fp32: CPU bf16 is emulated/slower
     if params is None:
-        p0 = init_params(pipe.model, jax.random.PRNGKey(0))
-        tx = make_optimizer("adam", 1e-5)
-        st = TrainState.create(p0, tx, 0.995, 10)
-        target = {"step": np.zeros((), np.int32), "params": st.params,
-                  "opt_state": st.opt_state, "ema_params": st.ema_params}
-        restored = load_checkpoint(CKPT_DIR, 50000, target=target)
-        params = restored["ema_params"]
-        tick(f"restored EMA params at step {int(restored['step'])}")
+        # Target-free raw restore: we only need the EMA params, and the
+        # saved opt_state chain (adam + grad-clip from the pretrain config)
+        # need not be reconstructed just to be discarded.
+        restored = load_checkpoint(CKPT_DIR, 50000)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["ema_params"])
+        tick(f"restored EMA params at step {int(np.asarray(restored['step']))}")
     t_e = time.time()
     m = pipe.evaluate(params, test, jnp.zeros(()), jax.random.PRNGKey(5000))
     dt = time.time() - t_e

@@ -73,17 +73,13 @@ for sampler, steps in variants:
     conf = BurgersConformalConfig(sampler=sampler, ddim_sampling_steps=steps)
     pipe = BurgersPipeline(conf, dim=128, compute_dtype="bfloat16")
     if params is None:
-        from safediffcon_tpu.core.train import TrainState, make_optimizer
-        from safediffcon_tpu.tasks.burgers.pipeline import init_params
-
-        p0 = init_params(pipe.model, jax.random.PRNGKey(0))
-        tx = make_optimizer("adam", 1e-5)
-        st = TrainState.create(p0, tx, 0.995, 10)
-        target = {"step": np.zeros((), np.int32), "params": st.params,
-                  "opt_state": st.opt_state, "ema_params": st.ema_params}
-        restored = load_checkpoint(ckpt_dir, step, target=target)
-        params = restored["ema_params"]
-        tick(f"restored EMA params at step {int(restored['step'])}")
+        # Target-free raw restore: we only need the EMA params; rebuilding
+        # the opt_state target requires matching the pretrain config's
+        # optimizer chain exactly (adam + grad-clip) — a structure mismatch
+        # crashed the round-4 CPU run of this flow before this fix.
+        restored = load_checkpoint(ckpt_dir, step)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["ema_params"])
+        tick(f"restored EMA params at step {int(np.asarray(restored['step']))}")
 
     key = f"{sampler}{steps}"
     rng = jax.random.PRNGKey(0)
