@@ -65,6 +65,26 @@ def test_frame_sharded_forward_matches_single_device(tiny):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_frame_sharded_forward_packed_attn_matches(tiny):
+    """attn_impl="packed" (head-stacked 128-tile matmuls) under the dp x sp
+    mesh: the packing reshapes heads into the stacked-token axis while the
+    frame axis stays sharded until the attention's all-gather — same params
+    pytree, same output as the single-device per-head reference. Pins that
+    the production fastest-config selection (experiments/queue_r4.sh) can
+    pick packed without breaking the --sp path."""
+    model, params, x, t = tiny
+    ref = jax.jit(model.apply)(params, x, t)
+    packed = UNet3D(dim=8, dim_mults=(1, 2), channels=4, attn_heads=2,
+                    attn_dim_head=4, resnet_groups=1, use_remat=False,
+                    attn_impl="packed")
+    mesh = get_mesh_2d(2, 4)
+    xs = shard_video(np.asarray(x), mesh)
+    ps = replicate(params, mesh)
+    out = jax.jit(packed.apply)(ps, xs, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_frame_sharded_grads_match_single_device(tiny):
     model, params, x, t = tiny
