@@ -28,6 +28,19 @@ class DiffusionConfig:
     ddim_eta: float = 0.0
     clip_denoised: bool = True
     self_condition: bool = False
+    # DPM-Solver++ only: impose conditions at the iterate's own noise level
+    # (q_sample of the clean condition values) at intermediate steps instead
+    # of writing CLEAN values into a noisy iterate (RePaint-style,
+    # arXiv 2201.09865; clean values still written at the final step).
+    # MEASURED NEGATIVE (round 4, validation_1d_dpm_cpu_round4.json):
+    # J 0.030 -> 0.065 at dpm20 — the U-Nets are TRAINED with clean
+    # conditions written into the noised input (core/train.py p_losses,
+    # mirroring the reference), so noised conditions are out-of-
+    # distribution. Kept (default off) to reproduce the experiment. The
+    # measured quality driver at few steps is eta=1 stochasticity:
+    # ddim20/50 eta=1 reach J=0.0170/0.0132 vs ddim200's 0.0155, while all
+    # deterministic 20-step variants plateau at ~0.030.
+    noise_matched_cond: bool = False
 
     @property
     def is_ddim(self) -> bool:

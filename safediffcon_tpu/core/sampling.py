@@ -418,8 +418,26 @@ def dpm_solver_sample(
         a = acp[t]
         return jnp.sqrt(a), jnp.sqrt(1.0 - a)
 
-    img = jax.random.normal(rng, shape, dtype=jnp.float32)
-    img = cond.apply(img)
+    rng, init_key, cond_key = jax.random.split(rng, 3)
+    img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    # Noise-matched conditioning (cfg.noise_matched_cond, DiffusionConfig):
+    # recover the conditioned-cell mask and clean values generically from
+    # the Conditioner protocol — apply() writes fixed values (conditions +
+    # pad zeros) into a fixed set of cells and leaves the rest untouched,
+    # so cells where apply(0) == apply(1) are exactly the written cells.
+    if cfg.noise_matched_cond:
+        clean = cond.apply(jnp.zeros(shape, jnp.float32))
+        cond_mask = clean == cond.apply(jnp.ones(shape, jnp.float32))
+
+        def impose(x, time, key):
+            a_t, s_t_ = alpha_sigma(time)
+            eps = jax.random.normal(key, shape, dtype=jnp.float32)
+            return jnp.where(cond_mask, a_t * clean + s_t_ * eps, x)
+
+        img = impose(img, pairs[0][0], cond_key)
+    else:
+        img = cond.apply(img)
     scan_params = jax.lax.stop_gradient(params) if final_step_grad else params
 
     def predict_x0(params_, x, time):
@@ -447,7 +465,10 @@ def dpm_solver_sample(
         D = jnp.where(is_first, x0, D_2m)
 
         img = (s_s / s_t) * img - a_s * jnp.expm1(-h) * D
-        img = cond.apply(img)
+        if cfg.noise_matched_cond:
+            img = impose(img, t_next, jax.random.fold_in(cond_key, t_next))
+        else:
+            img = cond.apply(img)
         return (img, x0, h, jnp.zeros((), jnp.bool_)), None
 
     carry0 = (img, jnp.zeros_like(img), jnp.ones(()), jnp.ones((), jnp.bool_))
@@ -456,4 +477,9 @@ def dpm_solver_sample(
     if final_step_grad:
         img = jax.lax.stop_gradient(img)
     # final step: x = x0 (matching the DDIM t_next < 0 branch)
-    return predict_x0(params, img, final_time)
+    x0 = predict_x0(params, img, final_time)
+    if cfg.noise_matched_cond:
+        # intermediate imposition was noise-matched; the OUTPUT contract
+        # (conditions exact in the returned sample) still holds
+        x0 = cond.apply(x0)
+    return x0

@@ -54,6 +54,9 @@ class BurgersConformalConfig:
     ddim_eta: float = 1.0
     timesteps: int = 1000
     sampler: str = "ddim"  # "ddim" | "dpm" (DPM-Solver++ 2M, fewer steps)
+    # dpm only: RePaint-style noise-matched condition imposition at
+    # intermediate steps (core/diffusion.py::DiffusionConfig)
+    dpm_noise_matched_cond: bool = False
     # guidance
     w_score: float = 500.0  # reproduce-ft preset (1D/configs/inference_config.py:118-123)
     J_scheduler: Optional[str] = None  # "constant"

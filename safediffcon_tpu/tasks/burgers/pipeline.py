@@ -113,6 +113,8 @@ class BurgersPipeline:
             timesteps=conf_cfg.timesteps,
             sampling_timesteps=conf_cfg.ddim_sampling_steps,
             ddim_eta=conf_cfg.ddim_eta,
+            noise_matched_cond=getattr(conf_cfg, "dpm_noise_matched_cond",
+                                       False),
         )
         self.j_scheduler = get_J_scheduler(conf_cfg.J_scheduler)
         # fast-sampler option (beyond reference parity): DPM-Solver++(2M)

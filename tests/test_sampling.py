@@ -247,3 +247,34 @@ def test_ddim_proj_guidance_runs():
         proj_guidance=get_proj_ep_orthogonal("F"),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpm_noise_matched_cond():
+    """noise_matched_cond (measured-negative option, kept reproducible):
+    identity-conditioner sampling is bit-identical to the default path; a
+    real conditioner still returns exact clean conditions in the output."""
+    from safediffcon_tpu.core.sampling import dpm_solver_sample
+    from safediffcon_tpu.models.unet2d import UNet2D
+
+    model = UNet2D(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=1)
+    apply_fn = lambda p, x, t: model.apply(p, x, t)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 3)), jnp.zeros((1,), jnp.int32)
+    )
+    sched = make_schedule(50)
+    shape = (2, 16, 32, 3)
+    base = DiffusionConfig(timesteps=50, sampling_timesteps=6)
+    nm = DiffusionConfig(timesteps=50, sampling_timesteps=6,
+                         noise_matched_cond=True)
+    a = dpm_solver_sample(apply_fn, params, sched, base,
+                          jax.random.PRNGKey(0), shape)
+    b = dpm_solver_sample(apply_fn, params, sched, nm,
+                          jax.random.PRNGKey(0), shape)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    u0 = jnp.ones((2, 32)) * 0.3
+    out = dpm_solver_sample(apply_fn, params, sched, nm,
+                            jax.random.PRNGKey(1), shape,
+                            cond=BurgersConditioner(u0=u0))
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out[:, 0, :, 0]), np.asarray(u0))
