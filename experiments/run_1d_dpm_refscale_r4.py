@@ -67,7 +67,10 @@ ckpt_dir = CKPT_DIR
 step = 50000
 
 results = {}
-variants = [("ddim", 200), ("dpm", 50), ("dpm", 20)]
+# ddim-20/50 added after the round-4 CPU diagnosis: stochastic (eta=1)
+# few-step DDIM matched/beat DDIM-200 (validation_1d_dpm_cpu_round4.json);
+# this full-size run certifies that headline with calibration + 3 seeds.
+variants = [("ddim", 200), ("ddim", 20), ("ddim", 50), ("dpm", 50), ("dpm", 20)]
 params = None
 for sampler, steps in variants:
     conf = BurgersConformalConfig(sampler=sampler, ddim_sampling_steps=steps)
