@@ -348,6 +348,13 @@ def ancestral_sample(
     # reference does in that mode.
     if fix_final_step or guidance_on_x0 or guidance_grad is None:
         img, _ = p_sample(params, img, 0, rng)
+    else:
+        # Reference-quirk mode: the t=0 iteration still imposes conditions
+        # into img at the top of p_sample (set_condition/set_pad_condition,
+        # 1D/model/diffusion.py:435-445) before the guided update is
+        # discarded — so byte-for-byte parity requires applying conditions
+        # here while skipping the posterior update.
+        img = cond.apply(img)
     return img
 
 
@@ -418,8 +425,13 @@ def dpm_solver_sample(
         a = acp[t]
         return jnp.sqrt(a), jnp.sqrt(1.0 - a)
 
-    rng, init_key, cond_key = jax.random.split(rng, 3)
-    img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+    # Initial noise is ALWAYS normal(rng) — the legacy stream. Round 4
+    # briefly split rng three ways unconditionally, which silently changed
+    # the initial-noise draw for a given seed and broke seed-reproducibility
+    # of earlier-round DPM artifacts (ADVICE r4); the noise-matched mode now
+    # derives its condition key via fold_in instead, so BOTH modes share the
+    # same initial noise and pre-round-4 results reproduce exactly.
+    img = jax.random.normal(rng, shape, dtype=jnp.float32)
 
     # Noise-matched conditioning (cfg.noise_matched_cond, DiffusionConfig):
     # recover the conditioned-cell mask and clean values generically from
@@ -427,6 +439,7 @@ def dpm_solver_sample(
     # pad zeros) into a fixed set of cells and leaves the rest untouched,
     # so cells where apply(0) == apply(1) are exactly the written cells.
     if cfg.noise_matched_cond:
+        cond_key = jax.random.fold_in(rng, 0x636F6E64)  # b"cond"
         clean = cond.apply(jnp.zeros(shape, jnp.float32))
         cond_mask = clean == cond.apply(jnp.ones(shape, jnp.float32))
 

@@ -76,7 +76,10 @@ def _conv3d_fused_fwd(x, w_flat, tile_h, interpret):
     B, F, H, W, C = x.shape
     Cout = w_flat.shape[1]
     TH = min(tile_h, H)
-    assert H % TH == 0, (H, TH)
+    if H % TH != 0:
+        raise ValueError(
+            f"conv3d_fused: H={H} is not divisible by tile_h={TH}; call via "
+            "conv3d_fused() which picks the largest divisor automatically")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     out = pl.pallas_call(
         _make_kernel(F, TH, W, C, Cout, x.dtype),
@@ -143,10 +146,19 @@ def conv3d_fused(x, kernel, tile_h: int = 8, interpret=None):
     """Fused stride-1 SAME 3x3x3 conv. x: (B,F,H,W,C) NDHWC;
     kernel: (3,3,3,C,Cout) (flax nn.Conv layout). Differentiable.
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
-    (the kernel uses pltpu DMA, which only compiles for TPU)."""
+    (the kernel uses pltpu DMA, which only compiles for TPU).
+
+    tile_h is a hint: the actual tile is the largest divisor of H that is
+    <= tile_h, so any H works (H=12 tiles at 6, H=20 at 5, prime H at 1)
+    instead of asserting (ADVICE r4). Production UNet shapes (64/32/16)
+    tile at exactly tile_h."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _conv3d_fused_vjp(x, kernel, tile_h, bool(interpret))
+    H = x.shape[2]
+    th = max(1, min(tile_h, H))
+    while H % th:
+        th -= 1
+    return _conv3d_fused_vjp(x, kernel, th, bool(interpret))
 
 
 def conv3d_reference(x, kernel):

@@ -13,6 +13,7 @@ resumes from the last persisted epoch.
 from __future__ import annotations
 
 import logging
+import re
 import time
 from typing import Callable, TypeVar
 
@@ -22,22 +23,40 @@ log = logging.getLogger(__name__)
 
 T = TypeVar("T")
 
-# Substrings identifying a *device/backend* loss (retryable) as opposed to a
-# program error (not retryable). Matched against the exception text.
-_FAULT_MARKERS = (
-    "UNAVAILABLE",
+# Phrases identifying a *device/backend* loss (retryable) as opposed to a
+# program error (not retryable), and the PJRT/gRPC status codes a dead
+# backend surfaces with. Codes must appear in `CODE:` status position, not
+# anywhere in the text, so a user-level error that merely mentions
+# "DEADLINE_EXCEEDED" in its payload does not trigger a backend teardown.
+_FAULT_PHRASES = (
     "worker process crashed",
     "backend setup/compile error",
-    "DEADLINE_EXCEEDED",
 )
+_STATUS_CODES = ("UNAVAILABLE", "DEADLINE_EXCEEDED")
+_STATUS_RE = re.compile(r"\b(?:" + "|".join(_STATUS_CODES) + r"): ")
 
 
 def is_device_fault(exc: BaseException) -> bool:
-    """True when `exc` looks like a lost/crashed device backend."""
-    if not isinstance(exc, (jax.errors.JaxRuntimeError, RuntimeError)):
-        return False
+    """True when `exc` looks like a lost/crashed device backend.
+
+    Two accepted shapes (tightened per round-4 VERDICT):
+      - a `jax.errors.JaxRuntimeError` (the XLA/PJRT runtime exception)
+        carrying a fault phrase or a `CODE: ` status prefix — this is how a
+        mid-run worker loss surfaces;
+      - a plain RuntimeError ONLY for jax's backend-init failure signature
+        ("Unable to initialize backend ...: UNAVAILABLE: ...", raised by
+        xla_bridge before any JaxRuntimeError exists).
+    Any other RuntimeError — including ones whose payload mentions a status
+    code — is a program error and is NOT retried.
+    """
     msg = str(exc)
-    return any(m in msg for m in _FAULT_MARKERS)
+    if isinstance(exc, jax.errors.JaxRuntimeError):
+        return any(p in msg for p in _FAULT_PHRASES) or bool(
+            _STATUS_RE.search(msg))
+    if isinstance(exc, RuntimeError):
+        return "Unable to initialize backend" in msg and bool(
+            _STATUS_RE.search(msg))
+    return False
 
 
 def reinit_backend() -> None:

@@ -13,6 +13,8 @@ from safediffcon_tpu.ops.conv3d_mxu import (
     ((2, 4, 8, 8, 8), 8, 4),     # tiled H
     ((1, 3, 4, 8, 16), 8, 4),    # Cin != Cout
     ((1, 2, 4, 4, 4), 4, 4),     # single H tile
+    ((1, 2, 12, 8, 8), 8, 8),    # H not divisible by tile_h hint -> tiles at 6
+    ((1, 2, 5, 8, 8), 8, 4),     # prime H -> tiles at 1 (ADVICE r4)
 ])
 def test_matches_xla_conv(shape, cout, tile_h):
     rng = np.random.default_rng(0)

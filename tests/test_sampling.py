@@ -278,3 +278,23 @@ def test_dpm_noise_matched_cond():
                             cond=BurgersConditioner(u0=u0))
     assert bool(jnp.isfinite(out).all())
     np.testing.assert_allclose(np.asarray(out[:, 0, :, 0]), np.asarray(u0))
+
+
+def test_parity_mode_final_step_still_applies_conditions():
+    """ADVICE r4 (medium): fix_final_step=False + guidance_on_x0=False must
+    still impose conditions at t=0 — the reference writes set_condition /
+    set_pad_condition into img before discarding the guided update
+    (1D/model/diffusion.py:435-445) — while skipping the posterior update."""
+    sched = make_schedule(30)
+    cfg = DiffusionConfig(timesteps=30)
+    u0 = jnp.full((1, 8), 0.37)
+    cond = BurgersConditioner(u0=u0)
+    out = ancestral_sample(
+        _zero_model, None, sched, cfg, jax.random.PRNGKey(9), (1, 16, 8, 3),
+        cond=cond, guidance_grad=lambda x: jnp.ones_like(x) * 0.3,
+        guidance_on_x0=False, fix_final_step=False)
+    # conditioned cells are exactly clean in the returned sample
+    np.testing.assert_allclose(np.asarray(out[:, 0, :, 0]), 0.37, atol=0)
+    # idempotence: re-applying the conditioner changes nothing
+    np.testing.assert_allclose(np.asarray(cond.apply(out)), np.asarray(out),
+                               atol=0)

@@ -112,6 +112,16 @@ def test_device_fault_detection_and_retry(monkeypatch):
     assert not faults.is_device_fault(ValueError("UNAVAILABLE"))  # wrong type
     assert not faults.is_device_fault(jax.errors.JaxRuntimeError(
         "INVALID_ARGUMENT: shape mismatch"))
+    # round-4 VERDICT tightening: a plain RuntimeError whose payload merely
+    # mentions a status code is a program error, not a backend loss
+    assert not faults.is_device_fault(RuntimeError(
+        "user op failed: DEADLINE_EXCEEDED reported by remote service"))
+    assert not faults.is_device_fault(RuntimeError(
+        "gRPC call failed UNAVAILABLE somewhere unrelated"))
+    # ... but the status-prefixed init failure and mid-run worker loss stay
+    # retryable
+    assert faults.is_device_fault(jax.errors.JaxRuntimeError(
+        "DEADLINE_EXCEEDED: Deadline exceeded while waiting for TPU"))
 
     reinits = []
     monkeypatch.setattr(faults, "reinit_backend", lambda: reinits.append(1))
