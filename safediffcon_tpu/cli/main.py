@@ -108,6 +108,29 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--from-phase", default="pretrain",
                    choices=("pretrain", "posttrain", "infft"),
                    help="eval: which phase's checkpoint to load")
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="eval: override the sampler's DDIM step count "
+                        "(reference defaults: 200 burgers / 200 tokamak / "
+                        "100 smoke)")
+    p.add_argument("--model-w", action="store_true",
+                   help="burgers pretrain: train the w-only prior model "
+                        "p(w | u0, uT) into <out>/burgers-pretrain-w "
+                        "(reference is_model_w, 1D/model/diffusion.py:678) "
+                        "— the prior for --two-model sampling")
+    p.add_argument("--two-model", action="store_true",
+                   help="burgers eval: compose the main denoiser with the "
+                        "w-only prior from <out>/burgers-pretrain-w "
+                        "(reference eval_two_models, "
+                        "1D/model/diffusion.py:226-239)")
+    p.add_argument("--prior-beta", type=float, default=0.5,
+                   help="two-model composition weight beta "
+                        "(reference prior_beta, 1D/model/diffusion.py:55)")
+    p.add_argument("--normalize-beta", action="store_true",
+                   help="two-model: use the normalized composition "
+                        "(out - (1-beta)*out_w)/beta")
+    p.add_argument("--prior-checkpoint", type=int, default=None,
+                   help="two-model: milestone of the w-model checkpoint "
+                        "(default: latest in <out>/burgers-pretrain-w)")
     p.add_argument("--checkpoints", default=None,
                    help="eval: sweep milestones — 'LO:HI[:STEP]' (HI inclusive)"
                         " or a comma list '10,20,170'; writes a results table")
@@ -278,23 +301,59 @@ def run_burgers(args) -> int:
     dim = args.dim or 128
     if args.phase == "pretrain":
         cfg = BurgersPretrainConfig(dim=dim, seed=args.seed)
+        # --model-w trains the w-only prior into its own checkpoint dir
+        # (the two-model composition's second model)
+        suffix = "-w" if args.model_w else ""
+        ckpt_dir = os.path.join(args.out, f"burgers-pretrain{suffix}")
         train = _dispatch_load(BurgersDataset, data_path, "train")
         P.pretrain(cfg, train, num_steps=args.steps,
-                   checkpoint_dir=os.path.join(args.out, "burgers-pretrain"),
-                   resume_dir=_resume_dir(args, os.path.join(args.out, "burgers-pretrain")),
-                   steps_per_call=_steps_per_call(args))
+                   checkpoint_dir=ckpt_dir,
+                   resume_dir=_resume_dir(args, ckpt_dir),
+                   steps_per_call=_steps_per_call(args),
+                   model_w=args.model_w)
         return 0
+
+    def _with_prior(p):
+        """--two-model: pair the main params with the w-only prior's."""
+        if not args.two_model:
+            return p
+        from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+        w_dir = os.path.join(args.out, "burgers-pretrain-w")
+        step = args.prior_checkpoint
+        if step is None:
+            step = latest_step(w_dir)
+        if step is None:
+            raise SystemExit(
+                f"--two-model: no w-model checkpoint in {w_dir} — run "
+                "`burgers pretrain --model-w` first")
+        restored = load_checkpoint(w_dir, step)
+        return (p, restored.get("ema_params", restored.get("params")))
 
     params = None
     if not (args.phase == "eval" and args.checkpoints):
         # sweep mode reloads per milestone; skip the redundant upfront load
         params, _ = _load_params(args, args.out, "burgers")
+        params = _with_prior(params)
 
-    pipe = P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
+    def _ccfg(base=None):
+        c = base or BurgersConformalConfig()
+        if args.ddim_steps:
+            c = dataclasses.replace(c, ddim_sampling_steps=args.ddim_steps)
+        return c
+
+    pipe_kw = dict(dim=dim, two_model=args.two_model,
+                   prior_beta=args.prior_beta,
+                   normalize_beta=args.normalize_beta)
+    pipe = P.BurgersPipeline(_ccfg(), **pipe_kw)
     cal = _dispatch_load(BurgersDataset, data_path, "cal")
     test = _dispatch_load(BurgersDataset, data_path, "test")
 
-    make_pipe = lambda: P.BurgersPipeline(BurgersConformalConfig(), dim=dim)
+    make_pipe = lambda: P.BurgersPipeline(_ccfg(), **pipe_kw)
+    if args.two_model and args.phase != "eval":
+        raise SystemExit("--two-model is a sampling/eval surface (the "
+                         "reference composes models at inference only); "
+                         "finetune the main model, then eval --two-model")
     if args.phase == "posttrain":
         cfg = BurgersPostTrainConfig(seed=args.seed)
         finetune = _dispatch_load(BurgersDataset, data_path, "train", subset=cfg.finetune_subset_size)
@@ -317,7 +376,8 @@ def run_burgers(args) -> int:
         import jax.numpy as jnp
 
         def eval_one(step):
-            p = params if step is None else _load_params(args, args.out, "burgers", step=step)[0]
+            p = params if step is None else _with_prior(
+                _load_params(args, args.out, "burgers", step=step)[0])
             rng = jax.random.PRNGKey(args.seed)
             Q = pipe.calibrate(p, cal.data, jnp.zeros(()), rng)
             metrics = pipe.evaluate(p, test, Q, rng)
@@ -374,7 +434,10 @@ def run_tokamak(args) -> int:
         save_finetuned(os.path.join(args.out, f"tokamak-{args.phase}"), params, Q)
         print(_save_results(args.out, f"tokamak_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
-        pipe = TokamakPipeline(TokamakConformalConfig(), dim=dim)
+        ccfg = TokamakConformalConfig()
+        if args.ddim_steps:
+            ccfg = dataclasses.replace(ccfg, ddim_sampling_steps=args.ddim_steps)
+        pipe = TokamakPipeline(ccfg, dim=dim)
         cal = _dispatch_load(TokamakDataset, data_path, "cal")
         test = _dispatch_load(TokamakDataset, data_path, "test")
 
@@ -449,7 +512,10 @@ def run_smoke(args) -> int:
         save_finetuned(os.path.join(args.out, f"smoke-{args.phase}"), params, Q)
         print(_save_results(args.out, f"smoke_{args.phase}_results.json", metrics))
     elif args.phase == "eval":
-        pipe = SmokePipeline(SmokeConformalConfig(), dim=dim,
+        ccfg = SmokeConformalConfig()
+        if args.ddim_steps:
+            ccfg = dataclasses.replace(ccfg, ddim_sampling_steps=args.ddim_steps)
+        pipe = SmokePipeline(ccfg, dim=dim,
                          attn_impl=args.attn_impl, **chunk_kw)
         cal = _dispatch_load(SmokeDataset, data_path, "cal")
         test = _dispatch_load(SmokeDataset, data_path, "test")

@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from safediffcon_tpu.core.diffusion import DiffusionConfig, p_losses
-from safediffcon_tpu.core.sampling import ddim_sample, dpm_solver_sample, sample
+from safediffcon_tpu.core.sampling import (
+    compose_two_model_apply, ddim_sample, dpm_solver_sample, sample,
+)
 from safediffcon_tpu.core.schedules import make_schedule, get_J_scheduler
 from safediffcon_tpu.core.train import (
     TrainState,
@@ -53,9 +55,12 @@ from safediffcon_tpu.tasks.burgers.task import (
     COND_IDX,
     BurgersConditioner,
     BurgersTaskConfig,
+    ModelWConditioner,
     conformal_score,
     guidance_values,
     infft_loss,
+    mask_model_w_input,
+    mask_model_w_output,
     shift_weights,
     train_conditioner,
 )
@@ -94,6 +99,9 @@ class BurgersPipeline:
         groups: int = 1,
         compute_dtype: str = None,
         cal_chunk: int = 50,
+        two_model: bool = False,
+        prior_beta: float = 1.0,
+        normalize_beta: bool = False,
     ):
         self.ccfg = conf_cfg
         # chip-efficient sub-batching of calibration sampling (batch-250
@@ -108,6 +116,22 @@ class BurgersPipeline:
         )
         self.model = build_model(dim, dim_mults, groups, compute_dtype)
         self.apply_fn = lambda params, x, t: self.model.apply(params, x, t)
+        self.two_model = two_model
+        if two_model:
+            # Two-model composed sampling: the denoiser is corrected by a
+            # w-only prior model; `params` becomes (params_uw, params_w)
+            # everywhere in this pipeline. Same UNet2D topology for both
+            # (the reference's eval_two_models surface,
+            # 1D/model/diffusion.py:226-239; beyond parity: the reference
+            # restricts composition to the ancestral sampler — its
+            # ddim_sample asserts eval_two_models off, :489 — while this
+            # composed apply_fn works under every sampler here).
+            self.apply_fn = compose_two_model_apply(
+                self.apply_fn, self.apply_fn,
+                prior_beta=prior_beta, normalize_beta=normalize_beta,
+                mask_w_input=mask_model_w_input,
+                mask_w_output=mask_model_w_output,
+            )
         self.sched = make_schedule(conf_cfg.timesteps, "cosine")
         self.diff_cfg = DiffusionConfig(
             timesteps=conf_cfg.timesteps,
@@ -196,11 +220,14 @@ class BurgersPipeline:
         bs = self.ccfg.cal_batch_size
         chunk = min(self.cal_chunk or bs, bs)
         params = maybe_replicate(params)
+        n = len(cal_data)
         scores, weights = [], []
         for i in range(self.ccfg.num_cal_batch):
             for lo in range(0, bs, chunk):
                 base = i * bs + lo
-                batch = maybe_shard(cal_data[base : base + chunk])
+                if base >= n:  # cal set smaller than the configured batches
+                    break
+                batch = maybe_shard(cal_data[base : min(base + chunk, n)])
                 rng, key = jax.random.split(rng)
                 s, w = self._cal_batch(params, key, batch, Q)
                 scores.append(s)
@@ -240,15 +267,27 @@ def pretrain(
     params=None,
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
+    model_w: bool = False,
 ):
-    """Pretrain loop (reference: 1D/model/trainer.py:150-210)."""
+    """Pretrain loop (reference: 1D/model/trainer.py:150-210).
+
+    model_w=True trains the w-only prior p(w | u0, uT) instead: the net
+    never sees u_1..u_{T-1} and carries no loss on the u channel
+    (reference is_model_w training, 1D/model/diffusion.py:678-679,718-720).
+    The resulting checkpoint is the prior for two-model composed sampling
+    (BurgersPipeline(two_model=True))."""
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups,
                         getattr(cfg, 'compute_dtype', None))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective)
-    cond = train_conditioner()
+    if model_w:
+        base_apply = apply_fn
+        apply_fn = lambda p, x, t: base_apply(p, mask_model_w_input(x), t)
+        cond = ModelWConditioner()
+    else:
+        cond = train_conditioner()
 
     rng = jax.random.PRNGKey(cfg.seed)
     if params is None:

@@ -97,6 +97,41 @@ def train_conditioner() -> BurgersConditioner:
 
 
 # ---------------------------------------------------------------------------
+# w-only prior model p(w | u0, uT) — the reference's is_model_w /
+# eval_two_models surface (1D/model/diffusion.py:226-244,678-679,718-720)
+# ---------------------------------------------------------------------------
+
+def mask_model_w_input(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero the u rows the prior model never sees (u_1..u_{T-1}; u0/uT stay —
+    it is trained on p(w | u0, uT)). Applied to the model INPUT both in
+    training and in two-model sampling
+    (reference: 1D/model/diffusion.py:229-231,678-679)."""
+    return x.at[:, 1:COND_IDX, :, U].set(0.0)
+
+
+def mask_model_w_output(out: jnp.ndarray) -> jnp.ndarray:
+    """The prior model predicts only w: zero its whole u-channel output
+    (reference: 1D/model/diffusion.py:232)."""
+    return out.at[:, :, :, U].set(0.0)
+
+
+@struct.dataclass
+class ModelWConditioner(BurgersConditioner):
+    """Training conditioner for the w-only prior model.
+
+    Identical conditioning/padding to BurgersConditioner, but the u channel
+    carries no loss at all: the reference copies the target into the u rows
+    of the model output before the MSE
+    (1D/model/diffusion.py:718-720, `model_out[..., 0, :, :] = target`).
+    Input masking (u_1..u_{T-1} zeroed) is done by wrapping apply_fn with
+    `mask_model_w_input`, not here."""
+
+    def mask_output(self, model_out: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        model_out = BurgersConditioner.mask_output(self, model_out, target)
+        return model_out.at[:, :, :, U].set(target[:, :, :, U])
+
+
+# ---------------------------------------------------------------------------
 # Guidance (safety) loss and distribution-shift weights
 # ---------------------------------------------------------------------------
 
