@@ -25,10 +25,16 @@ arrays:
     one `lax.scan`, vmap-able over the batch — the reference's
     one-process-per-sample eval pool disappears.
 
-Precision note: the reference solves CG in float64 to |residual| < 1e-8.
-On TPU we run float32 with a 1e-6 default threshold (500-iteration cap,
-same as the reference); the projection error this leaves is ~1e-6 per
-step which is far below the smoke-statistics noise floor.
+Precision note: the reference solves CG in float64 to |residual| < 1e-8
+(2d/apps/evaluate_solver.py:108, 2d/dataset/apps/a_gen_dataset_128.py:282).
+On TPU we run float32. EVALUATION rollouts default to the reference's 1e-8
+threshold (evaluate_control below, tasks/smoke/{pipeline,metrics}.py) so
+reported metrics are computed at reference accuracy; DATA GENERATION
+(tasks/smoke/data.py) keeps 1e-6 — the per-step projection error this
+leaves (~1e-6) is far below the conservation-filter noise in the training
+distribution, and the round-2..4 datasets/checkpoints were produced at
+that tolerance (same-CPU head-to-head at 1e-8: BASELINE.md round 4).
+Both run under the same 500-iteration cap as the reference.
 """
 from __future__ import annotations
 
@@ -459,7 +465,7 @@ def evaluate_control(
     init_density_64: jnp.ndarray,  # (B, 64, 64)
     c1_32: jnp.ndarray,  # (B, nt, 64, 64) x-control at record resolution
     c2_32: jnp.ndarray,  # (B, nt, 64, 64) y-control
-    accuracy: float = 1e-6,
+    accuracy: float = 1e-8,  # reference eval tolerance (evaluate_solver.py:108)
     max_iter: int = 500,
     time_scale: int = 8,
     space_scale: int = 2,

@@ -18,7 +18,7 @@ def solver_rollout(
     masks: S.SmokeMasks,
     pred_scaled: jnp.ndarray,  # (B, F, 64, 64, 7) physical units
     data_scaled: jnp.ndarray,  # (B, F, 64, 64, 7) physical units
-    accuracy: float = 1e-6,
+    accuracy: float = 1e-8,  # reference eval tolerance (evaluate_solver.py:108)
     max_iter: int = 500,
     time_scale: int = 8,
     space_scale: int = 2,

@@ -79,7 +79,9 @@ class SmokePipeline:
         dim_mults=(1, 2, 4),
         compute_dtype: str = None,
         attn_impl: str = "heads",  # "packed" = 128-tile attention matmuls
-        solver_accuracy: float = 1e-6,
+        solver_accuracy: float = 1e-8,  # reference eval CG tolerance
+        # (2d/apps/evaluate_solver.py:108); datagen stays 1e-6, see
+        # solvers/smoke.py precision note
         solver_max_iter: int = 500,
         solver_time_scale: int = 8,
         solver_space_scale: int = 2,
