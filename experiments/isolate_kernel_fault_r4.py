@@ -125,13 +125,25 @@ def main():
                              eval_chunk=10, solver_backend=backend)
         if params_host is None:
             p0 = init_params(pipe.model, jax.random.PRNGKey(0))
-            tx = make_optimizer("adam", 1e-4, betas=(0.9, 0.99),
-                                max_grad_norm=0.0)
-            restored = load_phase_state(STATE, p0, tx.init(p0))
-            assert restored is not None, f"no phase state in {STATE}"
-            params_host = jax.device_get(restored[0])
-            tick(f"restored posttrain epoch-{restored[3]} params, "
-                 f"Q={float(restored[2]):.5f}")
+            restored = None
+            if os.path.isdir(STATE):
+                tx = make_optimizer("adam", 1e-4, betas=(0.9, 0.99),
+                                    max_grad_norm=0.0)
+                restored = load_phase_state(STATE, p0, tx.init(p0))
+            if restored is not None:
+                params_host = jax.device_get(restored[0])
+                tick(f"restored posttrain epoch-{restored[3]} params, "
+                     f"Q={float(restored[2]):.5f}")
+            else:
+                # Round-5: the durable posttrain state did not survive the
+                # re-clone. Crash behavior is a property of the PROGRAM
+                # (DDIM-100 UNet3D bf16 sampling scan + rollout), not of
+                # the weights, so fresh-init params replay the same
+                # kernels; metric values in the records are then
+                # meaningless and flagged as such.
+                params_host = jax.device_get(p0)
+                tick(f"no phase state in {STATE} — using fresh-init params "
+                     "(fault replay only; metrics not meaningful)")
         return pipe, params_host
 
     # P1/P2: the calibration program (no solver at all)
