@@ -77,7 +77,10 @@ if __name__ == "__main__":
         # when guided matches, so compile both variants we will run
         prewarm_pipe("posttrain", pt, "train", 10, (10,), guided=True)
         prewarm_pipe("posttrain-baseline", pt, "train", 10, (10,), guided=False)
-        prewarm_pipe("backward", bw, "test", 10, (5,), guided=False)
+        # the test split is 50, so eval chunks are size 10 in every phase
+        prewarm_pipe("backward", bw, "test", 10, (10,), guided=False)
+        # isolation P1: the round-3 2/2 crasher is the chunk-20 calibration
+        prewarm_pipe("isolation-P1", bw, "test", 20, (), guided=False)
     except Exception as e:  # noqa: BLE001
         tick(f"PREWARM FAILED: {str(e)[:300]}")
         raise
