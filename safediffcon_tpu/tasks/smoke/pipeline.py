@@ -124,13 +124,15 @@ class SmokePipeline:
                            else ddim_sample)
         self.masks = S.build_masks()
         if solver_backend == "auto":
-            # "auto" resolves to the pure-XLA CG on every backend. The
-            # Pallas VMEM kernel (ops/pressure_cg.py, ~2x faster on the
-            # pressure solve in isolation) is opt-in (backend="pallas"):
-            # three round-3 at-scale 2D runs lost the TPU worker to kernel
-            # faults whose common factor was long sampler+rollout programs
-            # running this kernel (experiments/smoke_backward_crash_round3.log);
-            # until the fault is root-caused the stable path is the default.
+            # "auto" resolves to the pure-XLA CG — a data-backed decision
+            # as of round 5 (experiments/pallas_cg_certification_r5.jsonl,
+            # first on-TPU run of both Pallas variants): both kernels match
+            # XLA to the CG tolerance and soak clean (the round-3 worker
+            # faults do not reproduce post-recovery), but v1 only beats XLA
+            # at small batch (2.58x at B=8, 0.77x at B=40) and v2's static
+            # blocks are slower everywhere. XLA is competitive-to-faster at
+            # the chunked eval batch sizes with no crossover cliff;
+            # "pallas_v1" stays opt-in for small-batch workloads.
             solver_backend = "xla"
         self.solver_kw = dict(
             accuracy=solver_accuracy, max_iter=solver_max_iter,
