@@ -65,17 +65,22 @@ def prewarm_pipe(tag, conf, finetune_set, cal_chunk, eval_chunks, guided):
 
 
 if __name__ == "__main__":
+    # SMOKE_DDIM_STEPS=20 prewarms the fast-sampler arm's programs
+    # (run_2d_fastsampler_r5.py) instead of the reference-100 ones
+    ddim = int(os.environ.get("SMOKE_DDIM_STEPS", 100))
     pt = SmokeConformalConfig(alpha=0.04, standard_fixed_ratio=100.0,
                               w_safe=0.9, cal_batch_size=50, num_cal_batch=4,
-                              ddim_sampling_steps=100, test_batch_size=25)
+                              ddim_sampling_steps=ddim, test_batch_size=25)
     bw = SmokeConformalConfig(alpha=0.01, standard_fixed_ratio=495.0,
                               w_safe=1.0, cal_batch_size=40, num_cal_batch=1,
-                              ddim_sampling_steps=100, use_guidance=False,
+                              ddim_sampling_steps=ddim, use_guidance=False,
                               test_batch_size=5)
     try:
         # guided eval also covers the unguided baseline eval's shapes only
         # when guided matches, so compile both variants we will run
         prewarm_pipe("posttrain", pt, "train", 10, (10,), guided=True)
+        if ddim != 100:
+            raise SystemExit(0)  # fast-sampler arm needs only the pt pair
         prewarm_pipe("posttrain-baseline", pt, "train", 10, (10,), guided=False)
         # the test split is 50, so eval chunks are size 10 in every phase
         prewarm_pipe("backward", bw, "test", 10, (10,), guided=False)
