@@ -266,6 +266,12 @@ if __name__ == "__main__":
         ("pallas_conv_save_heavy_b7", True, "save_heavy", 7, "pallas", "heads"),
         # head-packed 128-tile attention matmuls (round-4, models/unet3d.py)
         ("packed_attn_b7", True, "full", 7, "xla", "packed"),
+        # round-5 follow-ups to the measured 1.48x packed win: bigger M
+        # dims per launch (b14 accum-1) and no-remat (drop the ~30%
+        # recompute) on the packed layout
+        ("packed_attn_b14", True, "full", 14, "xla", "packed"),
+        ("packed_attn_none_b7", False, "full", 7, "xla", "packed"),
+        ("packed_attn_none_b14", False, "full", 14, "xla", "packed"),
         ("packed_attn_save_heavy_b7", True, "save_heavy", 7, "xla", "packed"),
         ("packed_attn_pallas_conv_b7", True, "save_heavy", 7, "pallas", "packed"),
     ]

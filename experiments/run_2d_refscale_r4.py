@@ -102,10 +102,50 @@ pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
                           checkpoint_every=int(os.environ.get("SMOKE_CKPT_EVERY", 5000)),
                           compute_dtype="bfloat16", remat_policy=REMAT_POLICY,
                           conv_impl=CONV_IMPL, attn_impl=ATTN_IMPL)
-state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
-                 checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
-                 steps_per_call=int(os.environ.get("SMOKE_K", 1)),
-                 device_pool=2500, pool_refresh_every=2000)
+
+# Deadline-gated chunked pretrain (round-5 fix): the posttrain/backward
+# phases were deadline-gated but pretrain was not, so a slower-than-planned
+# step rate ate the whole window and the run died mid-pretrain with no
+# posttrain record. Run pretrain in CHUNK-step segments (each resumes from
+# and re-saves the latest checkpoint — run_train_loop always checkpoints at
+# its final step) and stop early when the measured per-chunk rate says the
+# next chunk would cross SMOKE_PRETRAIN_DEADLINE_TS.
+PT_CHUNK = int(os.environ.get("SMOKE_PRETRAIN_CHUNK", 0))
+PRETRAIN_DEADLINE = float(os.environ.get("SMOKE_PRETRAIN_DEADLINE_TS", 0)) or None
+STEPS_PER_CALL = int(os.environ.get("SMOKE_K", 1))
+if PT_CHUNK <= 0 or PRETRAIN_DEADLINE is None:
+    state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
+                     checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
+                     steps_per_call=STEPS_PER_CALL,
+                     device_pool=2500, pool_refresh_every=2000)
+else:
+    from safediffcon_tpu.utils.checkpoint import latest_step
+
+    chunk_rate = None  # measured s/step incl. per-chunk resume overhead
+    while True:
+        cur = latest_step(CKPT_DIR) or 0
+        if cur >= PRETRAIN_STEPS:
+            target = cur  # already at/after the cap: one no-op call below
+        else:
+            target = min(cur + PT_CHUNK, PRETRAIN_STEPS)
+        left = PRETRAIN_DEADLINE - time.time()
+        if cur > 0 and target > cur and chunk_rate is not None and \
+                (target - cur) * chunk_rate > left:
+            tick(f"pretrain deadline gate: stopping at step {cur} "
+                 f"({left:.0f}s left < {(target - cur) * chunk_rate:.0f}s "
+                 f"needed for the next chunk)")
+            target = cur
+        tc = time.time()
+        state = pretrain(pre, data["train"], num_steps=target, log_every=100,
+                         checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
+                         steps_per_call=STEPS_PER_CALL,
+                         device_pool=2500, pool_refresh_every=2000)
+        if target > cur:
+            chunk_rate = (time.time() - tc) / (target - cur)
+            tick(f"pretrain chunk {cur}->{target}: {chunk_rate:.2f} s/step")
+        if target >= PRETRAIN_STEPS or target == cur:
+            PRETRAIN_STEPS = target  # record the actually-reached depth
+            break
 tick(f"pretrain at {PRETRAIN_STEPS} steps (remat={REMAT_POLICY})")
 
 results = {"pretrain_steps": PRETRAIN_STEPS, "remat_policy": REMAT_POLICY,

@@ -94,7 +94,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--conv-impl", default="xla", choices=("xla", "pallas"),
                    help="smoke: 3x3x3 conv implementation (pallas = fused "
                         "im2col MXU kernel, ops/conv3d_mxu.py)")
-    p.add_argument("--attn-impl", default="heads", choices=("heads", "packed"),
+    p.add_argument("--attn-impl", default="packed", choices=("heads", "packed"),
                    help="smoke: UNet3D attention matmul layout — 'packed' "
                         "stacks heads into full-128-tile MXU matmuls "
                         "(models/unet3d.py); checkpoints interchange")

@@ -82,7 +82,7 @@ class TemporalAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = None
-    attn_impl: str = "heads"  # "heads" | "packed"
+    attn_impl: str = "packed"  # "heads" | "packed"
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
@@ -147,7 +147,7 @@ class SpatialLinearAttention3D(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = None
-    attn_impl: str = "heads"  # "heads" | "packed"
+    attn_impl: str = "packed"  # "heads" | "packed"
 
     @nn.compact
     def __call__(self, x):
@@ -239,7 +239,7 @@ class ResnetBlock3D(nn.Module):
     # | "packed" (head-stacked full-128-tile matmuls with block-diagonal
     # masking — see TemporalAttention/SpatialLinearAttention3D docstrings).
     # Param pytrees are identical across the flag (checkpoints interchange).
-    attn_impl: str = "heads"
+    attn_impl: str = "packed"
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -290,7 +290,7 @@ class UNet3D(nn.Module):
     # | "packed" (head-stacked full-128-tile matmuls with block-diagonal
     # masking — see TemporalAttention/SpatialLinearAttention3D docstrings).
     # Param pytrees are identical across the flag (checkpoints interchange).
-    attn_impl: str = "heads"
+    attn_impl: str = "packed"
 
     @nn.compact
     def __call__(self, x, t):

@@ -39,7 +39,7 @@ class SmokePretrainConfig:
     conv_impl: str = "xla"
     # attention matmul layout ("heads" | "packed"): head-stacked 128-tile
     # matmuls targeting the round-3 MFU diagnosis (models/unet3d.py).
-    attn_impl: str = "heads"
+    attn_impl: str = "packed"
     seed: int = 42
 
 

@@ -57,7 +57,7 @@ log = logging.getLogger(__name__)
 
 
 def build_model(dim=64, dim_mults=(1, 2, 4), compute_dtype=None,
-                remat_policy="full", conv_impl="xla", attn_impl="heads"):
+                remat_policy="full", conv_impl="xla", attn_impl="packed"):
     dt = {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     return UNet3D(dim=dim, dim_mults=dim_mults, channels=7, compute_dtype=dt,
                   remat_policy=remat_policy, conv_impl=conv_impl,
@@ -78,7 +78,7 @@ class SmokePipeline:
         dim: int = 64,
         dim_mults=(1, 2, 4),
         compute_dtype: str = None,
-        attn_impl: str = "heads",  # "packed" = 128-tile attention matmuls
+        attn_impl: str = "packed",  # "packed" = 128-tile attention matmuls
         solver_accuracy: float = 1e-8,  # reference eval CG tolerance
         # (2d/apps/evaluate_solver.py:108); datagen stays 1e-6, see
         # solvers/smoke.py precision note
@@ -295,7 +295,7 @@ def pretrain(
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None),
                         remat_policy=getattr(cfg, 'remat_policy', 'full'),
                         conv_impl=getattr(cfg, 'conv_impl', 'xla'),
-                        attn_impl=getattr(cfg, 'attn_impl', 'heads'))
+                        attn_impl=getattr(cfg, 'attn_impl', 'packed'))
     apply_fn = lambda p, x, t: model.apply(p, x, t)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule, cfg.objective)
     dcfg = DiffusionConfig(timesteps=cfg.timesteps, objective=cfg.objective,
