@@ -5,6 +5,9 @@
 # Everything logs under /tmp/r4_*.log; JSON results land in experiments/.
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
+# pipefail so the rc=$? logged after each `cmd | tee` pipeline is the
+# command's status, not tee's (advisor round-4 finding)
+set -o pipefail
 set -x
 
 log() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a /tmp/r4_queue.log; }
