@@ -80,8 +80,20 @@ if not os.path.exists(os.path.join(RAW_DIR, "train_data.npy")):
 
 def load_split(split):
     raw = np.load(os.path.join(RAW_DIR, f"{split}_data.npy"), mmap_mode="r")
-    if split != "train":
-        raw = np.asarray(raw)
+    if split == "train":
+        # Persist the normalized train split once and mmap it afterwards:
+        # dividing the 18 GB mmap in-process costs ~12 min of first-touch
+        # page zeroing on this host (~25 MB/s, BASELINE.md), which made
+        # every watchdog relaunch prohibitively slow. pretrain only reads
+        # `.data` (the device pool gathers from it), so an mmap is fine.
+        scaled = os.path.join(RAW_DIR, "train_data_scaled.npy")
+        if not os.path.exists(scaled):
+            tmp = scaled + ".tmp.npy"
+            np.save(tmp, (raw / RESCALER).astype(np.float32, copy=False))
+            os.replace(tmp, scaled)
+            tick("normalized train split persisted for cheap relaunches")
+        return SmokeDataset(data=np.load(scaled, mmap_mode="r"), raw=raw)
+    raw = np.asarray(raw)
     return SmokeDataset(data=(raw / RESCALER).astype(np.float32, copy=False),
                         raw=raw)
 
@@ -113,11 +125,12 @@ pre = SmokePretrainConfig(batch_size=7, gradient_accumulate_every=2,
 PT_CHUNK = int(os.environ.get("SMOKE_PRETRAIN_CHUNK", 0))
 PRETRAIN_DEADLINE = float(os.environ.get("SMOKE_PRETRAIN_DEADLINE_TS", 0)) or None
 STEPS_PER_CALL = int(os.environ.get("SMOKE_K", 1))
+POOL = int(os.environ.get("SMOKE_POOL", 2500))  # HBM sample pool; drop if tunnel uploads look implicated in hangs
 if PT_CHUNK <= 0 or PRETRAIN_DEADLINE is None:
     state = pretrain(pre, data["train"], num_steps=PRETRAIN_STEPS, log_every=100,
                      checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
                      steps_per_call=STEPS_PER_CALL,
-                     device_pool=2500, pool_refresh_every=2000)
+                     device_pool=POOL, pool_refresh_every=2000)
 else:
     from safediffcon_tpu.utils.checkpoint import latest_step
 
@@ -139,7 +152,7 @@ else:
         state = pretrain(pre, data["train"], num_steps=target, log_every=100,
                          checkpoint_dir=CKPT_DIR, resume_dir=CKPT_DIR,
                          steps_per_call=STEPS_PER_CALL,
-                         device_pool=2500, pool_refresh_every=2000)
+                         device_pool=POOL, pool_refresh_every=2000)
         if target > cur:
             chunk_rate = (time.time() - tc) / (target - cur)
             tick(f"pretrain chunk {cur}->{target}: {chunk_rate:.2f} s/step")
@@ -207,7 +220,7 @@ if os.environ.get("SMOKE_BASELINE_EVAL", "1") == "1" and \
 # ---- posttrain (posttrain.sh hyperparameters) ----
 cfg = SmokeInferenceConfig(conformal=conf, finetune_epoch=PT_EPOCHS,
                            finetune_steps=PT_STEPS, finetune_batch_size=7,
-                           finetune_lr=1e-4, device_pool=2500)
+                           finetune_lr=1e-4, device_pool=POOL)
 results.setdefault("posttrain_history", [])
 
 

@@ -21,6 +21,7 @@ import json
 import logging
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -86,6 +87,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="pretrain: optimizer steps fused per device call "
                         "(lax.scan); default 25 on TPU, 1 elsewhere — "
                         "amortizes dispatch latency on tunneled chips")
+    p.add_argument("--train-deadline-s", type=float, default=None,
+                   help="pretrain: wall-clock budget in seconds — the loop "
+                        "stops cleanly at the first chunk boundary past the "
+                        "budget and checkpoints the step reached (resume "
+                        "with --resume)")
     p.add_argument("--remat-policy", default="full",
                    choices=("full", "save_heavy"),
                    help="smoke pretrain: UNet3D remat granularity — 'full' "
@@ -151,6 +157,11 @@ def _phase_state_dir(args, task):
     if not getattr(args, "resume", False):
         return None
     return os.path.join(args.out, f"{task}-{args.phase}-state")
+
+
+def _train_deadline(args):
+    s = getattr(args, "train_deadline_s", None)
+    return None if s is None else time.time() + s
 
 
 def _steps_per_call(args):
@@ -310,6 +321,7 @@ def run_burgers(args) -> int:
                    checkpoint_dir=ckpt_dir,
                    resume_dir=_resume_dir(args, ckpt_dir),
                    steps_per_call=_steps_per_call(args),
+                   deadline=_train_deadline(args),
                    model_w=args.model_w)
         return 0
 
@@ -413,7 +425,8 @@ def run_tokamak(args) -> int:
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "tokamak-pretrain"),
                  resume_dir=_resume_dir(args, os.path.join(args.out, "tokamak-pretrain")),
-                   steps_per_call=_steps_per_call(args))
+                 steps_per_call=_steps_per_call(args),
+                 deadline=_train_deadline(args))
         return 0
 
     params = None
@@ -481,7 +494,8 @@ def run_smoke(args) -> int:
         pretrain(cfg, train, num_steps=args.steps,
                  checkpoint_dir=os.path.join(args.out, "smoke-pretrain"),
                  resume_dir=_resume_dir(args, os.path.join(args.out, "smoke-pretrain")),
-                   steps_per_call=_steps_per_call(args))
+                 steps_per_call=_steps_per_call(args),
+                 deadline=_train_deadline(args))
         return 0
 
     params = None

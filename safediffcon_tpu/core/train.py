@@ -230,8 +230,17 @@ def run_train_loop(
     device_pool: int = 0,
     pool_refresh_every: int = 0,
     shard_video: bool = False,
+    deadline: Optional[float] = None,
 ):
     """Shared epoch-less training loop used by all three task pretrains.
+
+    deadline (absolute ``time.time()`` seconds) bounds the loop by
+    wall-clock: the loop stops cleanly at the first chunk boundary at/after
+    the deadline and writes a final checkpoint at the step actually
+    reached, so downstream phases always get their reserved window and a
+    resume continues exactly where training stopped. (Round-5 addition:
+    the first at-scale 2D run was killed by its outer timeout mid-pretrain
+    because only the finetune phases were deadline-gated.)
 
     Replaces the reference Trainer's `while step < num: data = next(cycle(dl))`
     loop (1D/model/trainer.py:150-210). Batches are drawn as random
@@ -363,6 +372,12 @@ def run_train_loop(
     last_pool = start_step
     step = start_step
     while step < num_steps:
+        if deadline is not None and _time.time() >= deadline:
+            if logger:
+                logger.info("%s: wall-clock deadline reached at step %d/%d "
+                            "— stopping and checkpointing", log_prefix, step,
+                            num_steps)
+            break
         kk = min(k, num_steps - step)
         if checkpoint_dir and checkpoint_every < 10**9:
             # clamp the chunk at the next checkpoint cadence point so
@@ -430,6 +445,8 @@ def run_train_loop(
         if checkpoint_dir and step // checkpoint_every > last_ckpt // checkpoint_every:
             save_checkpoint(checkpoint_dir, state, step)
             last_ckpt = step
-    if checkpoint_dir and num_steps > start_step and last_ckpt != num_steps:
-        save_checkpoint(checkpoint_dir, state, num_steps)
+    if checkpoint_dir and step > start_step and last_ckpt != step:
+        # final save at the step actually reached (== num_steps unless the
+        # deadline stopped the loop early)
+        save_checkpoint(checkpoint_dir, state, step)
     return state

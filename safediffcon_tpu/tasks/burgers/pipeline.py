@@ -268,6 +268,7 @@ def pretrain(
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
     model_w: bool = False,
+    deadline: Optional[float] = None,
 ):
     """Pretrain loop (reference: 1D/model/trainer.py:150-210).
 
@@ -345,6 +346,7 @@ def pretrain(
         start_step=start_step, seed=cfg.seed, steps_per_call=steps_per_call,
         log_every=log_every, checkpoint_every=cfg.checkpoint_every,
         checkpoint_dir=checkpoint_dir, logger=log, log_prefix="burgers pretrain",
+        deadline=deadline,
     )
 
 

@@ -290,6 +290,7 @@ def pretrain(
     steps_per_call: int = 1,
     device_pool: int = 0,
     pool_refresh_every: int = 0,
+    deadline: Optional[float] = None,
 ):
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, getattr(cfg, 'compute_dtype', None),
@@ -360,7 +361,7 @@ def pretrain(
         log_every=log_every, checkpoint_every=cfg.checkpoint_every,
         checkpoint_dir=checkpoint_dir, logger=log, log_prefix="smoke pretrain",
         device_pool=device_pool, pool_refresh_every=pool_refresh_every,
-        shard_video=True,
+        shard_video=True, deadline=deadline,
     )
 
 

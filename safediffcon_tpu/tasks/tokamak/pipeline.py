@@ -251,6 +251,7 @@ def pretrain(
     params=None,
     resume_dir: Optional[str] = None,
     steps_per_call: int = 1,
+    deadline: Optional[float] = None,
 ):
     num_steps = num_steps or cfg.train_num_steps
     model = build_model(cfg.dim, cfg.dim_mults, cfg.resnet_block_groups,
@@ -316,6 +317,7 @@ def pretrain(
         start_step=start_step, seed=cfg.seed, steps_per_call=steps_per_call,
         log_every=log_every, checkpoint_every=cfg.checkpoint_every,
         checkpoint_dir=checkpoint_dir, logger=log, log_prefix="tokamak pretrain",
+        deadline=deadline,
     )
 
 

@@ -141,3 +141,71 @@ def test_checkpoint_cadence_exact_multiples(tmp_path):
     saved = sorted(int(d.split("-")[1]) for d in os.listdir(str(tmp_path))
                    if d.startswith("ckpt-"))
     assert saved == [4, 8, 10]  # exact multiples + the final step
+
+
+def test_run_train_loop_deadline_stops_and_checkpoints(tmp_path, monkeypatch):
+    """A wall-clock deadline stops the loop at a chunk boundary, writes a
+    checkpoint at the step actually reached, and a resume continues to the
+    original target (round-5: framework-level pretrain gating)."""
+    import time as _t
+
+    from safediffcon_tpu.utils.checkpoint import latest_step, load_checkpoint
+
+    state, step_fn = _tiny_setup()
+    data = np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32)
+
+    # deadline already past: the loop runs zero steps and saves nothing new
+    out = run_train_loop(
+        step_fn, state, data,
+        batch_take=8, num_steps=12, rng=jax.random.PRNGKey(2),
+        steps_per_call=4, checkpoint_dir=str(tmp_path),
+        log_every=10**9, deadline=_t.time() - 1.0,
+    )
+    assert int(out.step) == 0
+    assert latest_step(str(tmp_path)) is None
+
+    # deadline that expires after the first chunk: exactly one 4-step chunk
+    # runs (the gate is checked between chunks), checkpoint lands at 4.
+    # run_train_loop reads the clock via the stdlib time module (one t0
+    # call, then one gate call per chunk), so patch time.time: calls 1-2
+    # (t0 + gate@step0) see t0, later gate calls see past-deadline.
+    t0 = _t.time()
+    calls = {"n": 0}
+
+    def fake_time():
+        # strictly increasing (orbax divides by elapsed time during saves);
+        # jumps past the deadline from the 3rd call (= gate at step 4) on
+        calls["n"] += 1
+        base = 0.0 if calls["n"] <= 2 else 100.0
+        return t0 + base + calls["n"] * 1e-3
+
+    monkeypatch.setattr(_t, "time", fake_time)
+    out = run_train_loop(
+        step_fn, state, data,
+        batch_take=8, num_steps=12, rng=jax.random.PRNGKey(2),
+        steps_per_call=4, checkpoint_dir=str(tmp_path),
+        log_every=10**9, deadline=t0 + 50.0,
+    )
+    monkeypatch.undo()  # restore the real clock before resume/IO below
+    assert int(out.step) == 4
+    assert latest_step(str(tmp_path)) == 4
+
+    # resume completes to the target
+    restored = load_checkpoint(str(tmp_path), 4, target={
+        "step": np.zeros((), np.int32),
+        "params": out.params, "opt_state": out.opt_state,
+        "ema_params": out.ema_params,
+    })
+    state2, _ = _tiny_setup()
+    state2 = state2.replace(step=jnp.asarray(restored["step"]),
+                            params=restored["params"],
+                            opt_state=restored["opt_state"],
+                            ema_params=restored["ema_params"])
+    out2 = run_train_loop(
+        step_fn, state2, data,
+        batch_take=8, num_steps=12, rng=jax.random.PRNGKey(2),
+        start_step=4, steps_per_call=4, checkpoint_dir=str(tmp_path),
+        log_every=10**9,
+    )
+    assert int(out2.step) == 12
+    assert latest_step(str(tmp_path)) == 12
